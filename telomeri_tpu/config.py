@@ -1,0 +1,78 @@
+"""Pipeline configuration.
+
+The C++ reference (lirfu/Telomeri, unreadable this round — see SURVEY.md §0) hardcodes its
+thresholds; we centralise every knob in one dataclass (SURVEY.md §6 "Config / flag system")
+and serialise it into every output for reproducibility.
+
+All threshold semantics are documented PRECISELY here because bit-identical output depends on
+boundary conditions (SURVEY.md §7 "hard parts"). Until the reference mount is readable these
+are OUR normative rules; reconcile against the reference the moment it appears.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class ScaffoldConfig:
+    """All knobs of the scaffolding pipeline.
+
+    Filtering rules (applied in `io/geometry.py`, in this order, on each PAF row):
+      1. self-overlap:   query name == target name                        -> drop
+      2. min identity:   SI = nmatch / blocklen;  SI <  min_identity      -> drop
+      3. min overlap:    mean aligned span (OL1+OL2)/2 <  min_overlap     -> drop
+      4. internal match: min(lo_q, lo_t) > max_overhang AND
+                         min(ro_q, ro_t) > max_overhang                   -> drop
+         (lo/ro = left/right unaligned overhang of each sequence, in
+          target-orientation-corrected coordinates)
+      5. containment:    (lo_t <= lo_q AND ro_t <= ro_q)  [t contained]   -> drop
+                         (lo_q <= lo_t AND ro_q <= ro_t)  [q contained]   -> drop
+         (ties, i.e. exactly equal spans, count as containment -> drop)
+      6. overhang ratio: at the junction, OH1 + OH2 > max_overhang_ratio * (OL1+OL2)/2 -> drop
+
+    Scoring (HERA formulas, SURVEY.md §3 row 5):
+        SI  = nmatch / blocklen
+        OS  = SI * (OL1 + OL2) / 2
+        ES2 = OS + EL2/2 - (OH1 + OH2)/2     # extend right with the right-hand node
+        ES1 = OS + EL1/2 - (OH1 + OH2)/2     # extend left  with the left-hand node
+    where, with q the left node (lo_q > lo_t):
+        OL1 = qe - qs, OL2 = te' - ts'       (te'/ts' target coords, orientation-corrected)
+        OH1 = ql - qe  (left node's unaligned tail), OH2 = ts' (right node's unaligned head)
+        EL1 = lo_q - lo_t = qs - ts'         (left node's extension past the right node)
+        EL2 = ro_t - ro_q = (tl - te') - (ql - qe)
+    Ties everywhere break deterministically (documented at each site).
+    """
+
+    # --- overlap filtering ---
+    min_identity: float = 0.70     # minimum SI to keep an overlap
+    min_overlap: int = 100         # minimum mean aligned span (bp)
+    max_overhang: int = 1000       # internal-match overhang threshold (bp)
+    max_overhang_ratio: float = 0.8  # junction overhang sum vs mean overlap span
+
+    # --- graph tensorization ---
+    max_degree: int = 64           # CSR row width K; keep top-K out-edges by (ES desc, dst asc)
+
+    # --- path generation ---
+    mc_walks_per_end: int = 100    # Monte-Carlo repetitions per anchor end
+    max_steps: int = 32            # fixed walk length bound (nodes beyond the start anchor)
+    mc_seed: int = 0               # base PRNG seed; per-walk streams via fold_in(walk_uid)
+
+    # --- path grouping / consensus ---
+    group_window: int = 1000       # path-length histogram bucket width (bp)
+    min_group_support: int = 2     # winning group must hold >= this many paths
+
+    # --- sharding ---
+    walk_batch_multiple: int = 8   # pad walk batch to a multiple of this * n_devices
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2, sort_keys=True)
+
+    @staticmethod
+    def from_json(s: str) -> "ScaffoldConfig":
+        return ScaffoldConfig(**json.loads(s))
+
+
+DEFAULT_CONFIG = ScaffoldConfig()

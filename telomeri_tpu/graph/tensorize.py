@@ -1,0 +1,112 @@
+"""Fixed-shape overlap-graph tensorization: EdgeSoA -> padded CSR in HBM.
+
+Reference parity: the C++ reference's OverlapGraph build (SURVEY.md §3 row 6; mount empty,
+SURVEY.md §0). The reference uses pointer-based adjacency; the TPU-native encoding is a
+dense (N, K) padded CSR so each walk step is one dense gather (SURVEY.md §2.2 `graph/`).
+
+Layout:
+  - N = 2 * n_seqs oriented nodes (see io/geometry.py for the node encoding).
+  - Row r of each (N, K) table lists node r's out-edges, sorted by (ES desc, dst asc,
+    edge-index asc) — the sort IS the greedy tie-break rule (documented, deterministic).
+  - Rows longer than K keep the top-K by that order (K = cfg.max_degree); the truncation
+    count is reported so configs can size K.
+  - Pad entries have nbr == -1, scores 0, adv 0.
+  - Anchor test is id-arithmetic: node v is an anchor iff v < 2 * n_anchors (contigs are
+    sequence ids [0, n_anchors)).
+
+Degree bucketing (SURVEY.md §7 "ragged -> fixed shapes") is a planned optimisation; the
+uniform-K layout is the v1 and its HBM cost is n_nodes * K * 20 bytes.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from telomeri_tpu.config import ScaffoldConfig
+from telomeri_tpu.io.geometry import EdgeSoA
+
+
+@dataclass
+class GraphTensors:
+    """Padded-CSR overlap graph (host numpy; device_put by callers).
+
+    nbr/es/os_/adv/eid: (N, K) per-node out-edge tables (see module docstring).
+    deg: (N,) int32 true out-degree (pre-truncation degrees clipped to K).
+    seq_len: (n_seqs,) int32 sequence lengths (for diagnostics; stitching re-reads host seqs).
+    n_anchors: number of anchor sequences (contigs).
+    """
+
+    nbr: np.ndarray
+    es: np.ndarray
+    os_: np.ndarray
+    adv: np.ndarray
+    eid: np.ndarray
+    deg: np.ndarray
+    seq_len: np.ndarray
+    n_anchors: int
+    n_truncated_edges: int = 0
+    stats: dict = field(default_factory=dict)
+
+    @property
+    def n_nodes(self) -> int:
+        return self.nbr.shape[0]
+
+    @property
+    def max_degree(self) -> int:
+        return self.nbr.shape[1]
+
+    def anchor_mask(self) -> np.ndarray:
+        return np.arange(self.n_nodes, dtype=np.int32) < 2 * self.n_anchors
+
+
+def tensorize(
+    edges: EdgeSoA, seq_len: np.ndarray, n_anchors: int, cfg: ScaffoldConfig
+) -> GraphTensors:
+    n_seqs = len(seq_len)
+    n_nodes = 2 * n_seqs
+    k = cfg.max_degree
+
+    # Deterministic row order: (src asc, es desc, dst asc, edge idx asc).
+    # np.lexsort is stable; keys listed minor->major.
+    e_idx = np.arange(len(edges), dtype=np.int64)
+    order = np.lexsort((e_idx, edges.dst, -edges.es.astype(np.float64), edges.src))
+    src = edges.src[order].astype(np.int64)
+
+    deg_full = np.bincount(src, minlength=n_nodes)
+    # rank of each edge within its row
+    row_start = np.zeros(n_nodes + 1, dtype=np.int64)
+    np.cumsum(deg_full, out=row_start[1:])
+    rank = np.arange(len(src), dtype=np.int64) - row_start[src]
+    keep = rank < k
+    n_trunc = int((~keep).sum())
+
+    nbr = np.full((n_nodes, k), -1, dtype=np.int32)
+    es = np.zeros((n_nodes, k), dtype=np.float32)
+    os_ = np.zeros((n_nodes, k), dtype=np.float32)
+    adv = np.zeros((n_nodes, k), dtype=np.int32)
+    eid = np.full((n_nodes, k), -1, dtype=np.int32)
+
+    r, c = src[keep], rank[keep]
+    sel = order[keep]
+    nbr[r, c] = edges.dst[sel]
+    es[r, c] = edges.es[sel]
+    os_[r, c] = edges.os_[sel]
+    adv[r, c] = edges.adv[sel]
+    eid[r, c] = sel.astype(np.int32)
+
+    return GraphTensors(
+        nbr=nbr, es=es, os_=os_, adv=adv, eid=eid,
+        deg=np.minimum(deg_full, k).astype(np.int32),
+        seq_len=seq_len.astype(np.int32),
+        n_anchors=n_anchors,
+        n_truncated_edges=n_trunc,
+        stats={
+            "n_nodes": n_nodes,
+            "n_edges": len(edges),
+            "max_degree_observed": int(deg_full.max()) if n_nodes else 0,
+            "k": k,
+            "n_truncated_edges": n_trunc,
+        },
+    )

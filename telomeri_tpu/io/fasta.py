@@ -1,0 +1,119 @@
+"""FASTA/FASTQ reading and FASTA writing (host side).
+
+Reference parity: the C++ reference's SequenceLoader (SURVEY.md §3 rows 2, 14; the mount was
+empty this round, so no file:line citation is possible — provenance in SURVEY.md §0).
+
+Design (SURVEY.md §2.2): sequences stay host-side as numpy uint8 byte arrays for the
+stitcher; only lengths and the id table ever go to the device. A C++ fast path
+(telomeri_tpu/native) mmap-parses large files; this module is the portable fallback and
+the single source of truth for semantics.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+_COMP = np.zeros(256, dtype=np.uint8)
+for _a, _b in zip(b"ACGTacgtNnUuRYKMrykm", b"TGCATGCANNAAYRMKyrmk"):
+    _COMP[_a] = _b
+# anything unmapped complements to 'N'
+for _i in range(256):
+    if _COMP[_i] == 0:
+        _COMP[_i] = ord("N")
+
+
+def reverse_complement(seq: np.ndarray) -> np.ndarray:
+    """Reverse-complement a uint8 sequence array."""
+    return _COMP[seq[::-1]]
+
+
+@dataclass
+class SequenceSet:
+    """A set of named sequences as numpy byte arrays.
+
+    names:   list of sequence ids (first whitespace-delimited token of the header)
+    seqs:    list of np.uint8 arrays (ASCII bytes, case preserved)
+    lengths: int64 array of sequence lengths
+    index:   name -> position
+    """
+
+    names: list[str]
+    seqs: list[np.ndarray]
+
+    def __post_init__(self) -> None:
+        self.lengths = np.array([len(s) for s in self.seqs], dtype=np.int64)
+        self.index = {n: i for i, n in enumerate(self.names)}
+        if len(self.index) != len(self.names):
+            dupes = [n for n in self.index if self.names.count(n) > 1]
+            raise ValueError(f"duplicate sequence names: {dupes[:5]}")
+
+    def __len__(self) -> int:
+        return len(self.names)
+
+
+def read_fasta(path: str) -> SequenceSet:
+    """Read FASTA or FASTQ (detected from the first byte). Supports multi-line FASTA."""
+    with open(path, "rb") as f:
+        data = f.read()
+    if not data:
+        return SequenceSet([], [])
+    if data[0:1] == b">":
+        return _parse_fasta(data)
+    if data[0:1] == b"@":
+        return _parse_fastq(data)
+    raise ValueError(f"{path}: not FASTA/FASTQ (first byte {data[0:1]!r})")
+
+
+read_fastx = read_fasta  # alias; format is auto-detected
+
+
+def _parse_fasta(data: bytes) -> SequenceSet:
+    names: list[str] = []
+    seqs: list[np.ndarray] = []
+    chunks: list[bytes] = []
+    for line in data.split(b"\n"):
+        line = line.rstrip(b"\r")
+        if not line:
+            continue
+        if line.startswith(b">"):
+            if names:
+                seqs.append(np.frombuffer(b"".join(chunks), dtype=np.uint8))
+            names.append(line[1:].split()[0].decode())
+            chunks = []
+        else:
+            chunks.append(line)
+    if names:
+        seqs.append(np.frombuffer(b"".join(chunks), dtype=np.uint8))
+    return SequenceSet(names, seqs)
+
+
+def _parse_fastq(data: bytes) -> SequenceSet:
+    names: list[str] = []
+    seqs: list[np.ndarray] = []
+    lines = data.split(b"\n")
+    i = 0
+    n = len(lines)
+    while i < n:
+        line = lines[i].rstrip(b"\r")
+        if not line:
+            i += 1
+            continue
+        if not line.startswith(b"@"):
+            raise ValueError(f"FASTQ record {len(names)}: expected '@', got {line[:20]!r}")
+        names.append(line[1:].split()[0].decode())
+        seqs.append(np.frombuffer(lines[i + 1].rstrip(b"\r"), dtype=np.uint8))
+        # lines[i+2] is '+', lines[i+3] is quality — both ignored
+        i += 4
+    return SequenceSet(names, seqs)
+
+
+def write_fasta(path: str, names: list[str], seqs: list[np.ndarray], width: int = 80) -> None:
+    """Write sequences as FASTA with fixed line width (deterministic byte output)."""
+    with open(path, "wb") as f:
+        for name, seq in zip(names, seqs):
+            f.write(b">" + name.encode() + b"\n")
+            b = seq.tobytes()
+            for off in range(0, len(b), width):
+                f.write(b[off : off + width] + b"\n")

@@ -1,0 +1,205 @@
+"""Overlap geometry, filtering, and directed-edge construction (host, vectorized numpy).
+
+Reference parity: the C++ reference's overlap filter + scoring at graph build (SURVEY.md §3
+rows 4-5; mount empty, SURVEY.md §0 — formulas follow the HERA method, Du & Liang 2019).
+
+Node encoding (the fixed-shape design of SURVEY.md §2.2 `graph/`): every sequence s gets TWO
+oriented nodes, id = 2*s (forward) and 2*s+1 (reverse-complement). A directed edge u -> v
+means "v, in its orientation, extends u rightward". Every kept PAF row yields exactly two
+directed edges: e (left node -> right node) and its mirror rc(right) -> rc(left). Walks are
+then orientation-free CSR traversals; an anchor END is simply an oriented anchor node
+(2c = right end of contig c, 2c+1 = left end).
+
+Geometry, with q in forward orientation and the target's coordinates flipped when
+strand == '-' (ts' = tlen-tend, te' = tlen-tstart):
+
+      lo_q = qs        ro_q = ql - qe          (q's unaligned left/right overhangs)
+      lo_t = ts'       ro_t = tl - te'
+      OL1  = qe - qs   OL2  = te' - ts'        (aligned spans)
+
+The row is classified (config filter rules 1-6, see ScaffoldConfig docstring) and, if kept,
+the LEFT node L is the one with the larger left overhang (tie -> q is left; documented
+tie-break). With L=q, R=t:
+
+      OH1 = ro_q (L's tail past the overlap)   OH2 = lo_t (R's head before the overlap)
+      EL1 = lo_q - lo_t                        EL2 = ro_t - ro_q
+      SI  = nmatch / blocklen
+      OS  = SI * (OL1 + OL2) / 2
+      ES2 = OS + EL2/2 - (OH1 + OH2)/2         (score of edge L+ -> R(s):  extend right)
+      ES1 = OS + EL1/2 - (OH1 + OH2)/2         (score of mirror rc(R) -> rc(L))
+
+Stitch coordinates stored per edge (see scaffold/stitch.py): ue = end of the aligned block
+in the SOURCE node's oriented coordinates, ve = same for the DESTINATION node. Appending a
+destination node to a growing scaffold places it at global offset  g_v = g_u + ue - ve  and
+advances the scaffold end by  adv = ue + (len_v - ve) - len_u  (= EL2 for the forward edge,
+EL1 for the mirror).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from telomeri_tpu.config import ScaffoldConfig
+from telomeri_tpu.io.paf import PafRecords
+
+
+@dataclass
+class EdgeSoA:
+    """Directed overlap-graph edges as SoA (host numpy; shipped to HBM by graph/tensorize).
+
+    All arrays share length n_edges. Node ids are oriented (2*seq + orient).
+    """
+
+    src: np.ndarray   # int32 oriented node id
+    dst: np.ndarray   # int32 oriented node id
+    os_: np.ndarray   # float32 overlap score
+    es: np.ndarray    # float32 extension score in this edge's direction
+    adv: np.ndarray   # int32 scaffold-end advance (bp) when traversing this edge
+    ue: np.ndarray    # int32 aligned-block end in src oriented coords
+    ve: np.ndarray    # int32 aligned-block end in dst oriented coords
+    row: np.ndarray   # int32 originating PAF row index (diagnostics/round-trip)
+
+    def __len__(self) -> int:
+        return len(self.src)
+
+
+@dataclass
+class FilterStats:
+    n_rows: int = 0
+    n_self: int = 0
+    n_low_identity: int = 0
+    n_short: int = 0
+    n_internal: int = 0
+    n_contained: int = 0
+    n_high_overhang: int = 0
+    n_kept: int = 0
+
+    def as_dict(self) -> dict:
+        return dict(self.__dict__)
+
+
+def overlap_geometry(paf: PafRecords) -> dict[str, np.ndarray]:
+    """Orientation-corrected geometry for every PAF row (before filtering)."""
+    strand = paf.strand.astype(np.int64)
+    ts = np.where(strand == 1, paf.tlen - paf.tend, paf.tstart).astype(np.int64)
+    te = np.where(strand == 1, paf.tlen - paf.tstart, paf.tend).astype(np.int64)
+    qs, qe = paf.qstart.astype(np.int64), paf.qend.astype(np.int64)
+    ql, tl = paf.qlen.astype(np.int64), paf.tlen.astype(np.int64)
+    return {
+        "qs": qs, "qe": qe, "ql": ql, "ts": ts, "te": te, "tl": tl,
+        "lo_q": qs, "ro_q": ql - qe, "lo_t": ts, "ro_t": tl - te,
+        "ol1": qe - qs, "ol2": te - ts,
+        "si": paf.nmatch.astype(np.float64) / np.maximum(paf.blocklen, 1),
+    }
+
+
+def build_edges(
+    paf: PafRecords, cfg: ScaffoldConfig, n_seqs: int
+) -> tuple[EdgeSoA, FilterStats]:
+    """Filter PAF rows and emit the two directed edges per kept row.
+
+    Scores here are the float64 numpy reference; the Pallas kernel
+    (kernels/scoring.py) recomputes OS/ES on device and is tested for parity.
+    Edge order is deterministic: kept rows in file order, forward edge then mirror edge
+    interleaved per row.
+    """
+    g = overlap_geometry(paf)
+    st = FilterStats(n_rows=len(paf))
+
+    self_mask = paf.qid == paf.tid
+    si_mask = g["si"] < cfg.min_identity
+    mean_ol = (g["ol1"] + g["ol2"]) / 2.0
+    short_mask = mean_ol < cfg.min_overlap
+    internal_mask = (
+        (np.minimum(g["lo_q"], g["lo_t"]) > cfg.max_overhang)
+        & (np.minimum(g["ro_q"], g["ro_t"]) > cfg.max_overhang)
+    )
+    t_contained = (g["lo_t"] <= g["lo_q"]) & (g["ro_t"] <= g["ro_q"])
+    q_contained = (g["lo_q"] <= g["lo_t"]) & (g["ro_q"] <= g["ro_t"])
+    contained_mask = t_contained | q_contained
+
+    # Junction overhangs depend on which node is left: left's right-overhang + right's
+    # left-overhang. q is left iff lo_q > lo_t (tie -> containment already dropped it).
+    q_left = g["lo_q"] > g["lo_t"]
+    oh1 = np.where(q_left, g["ro_q"], g["ro_t"])
+    oh2 = np.where(q_left, g["lo_t"], g["lo_q"])
+    overhang_mask = (oh1 + oh2) > cfg.max_overhang_ratio * mean_ol
+
+    # Sequential filter accounting (each row counted against the FIRST rule that drops it,
+    # in the documented order 1..6):
+    dropped = self_mask.copy()
+    st.n_self = int(self_mask.sum())
+    for name, m in (
+        ("n_low_identity", si_mask),
+        ("n_short", short_mask),
+        ("n_internal", internal_mask),
+        ("n_contained", contained_mask),
+        ("n_high_overhang", overhang_mask),
+    ):
+        newly = m & ~dropped
+        setattr(st, name, int(newly.sum()))
+        dropped |= m
+    keep = ~dropped
+    st.n_kept = int(keep.sum())
+
+    idx = np.flatnonzero(keep)
+    ql, tl = g["ql"][idx], g["tl"][idx]
+    qs, qe = g["qs"][idx], g["qe"][idx]
+    ts, te = g["ts"][idx], g["te"][idx]
+    strand = paf.strand[idx].astype(np.int64)
+    q_left = q_left[idx]
+
+    # Oriented node ids of the aligned pair: q forward, t in `strand` orientation.
+    q_node = 2 * paf.qid[idx].astype(np.int64)
+    t_node = 2 * paf.tid[idx].astype(np.int64) + strand
+
+    # Left/right node attributes in their oriented coordinates.
+    l_node = np.where(q_left, q_node, t_node)
+    r_node = np.where(q_left, t_node, q_node)
+    l_len = np.where(q_left, ql, tl)
+    r_len = np.where(q_left, tl, ql)
+    l_s = np.where(q_left, qs, ts)
+    l_e = np.where(q_left, qe, te)
+    r_s = np.where(q_left, ts, qs)
+    r_e = np.where(q_left, te, qe)
+
+    oh1 = l_len - l_e            # left node's unaligned tail
+    oh2 = r_s                    # right node's unaligned head
+    el1 = l_s - r_s              # left extension
+    el2 = (r_len - r_e) - (l_len - l_e)  # right extension
+    ol1 = l_e - l_s
+    ol2 = r_e - r_s
+    si = g["si"][idx]
+    os_ = si * (ol1 + ol2) / 2.0
+    es2 = os_ + el2 / 2.0 - (oh1 + oh2) / 2.0
+    es1 = os_ + el1 / 2.0 - (oh1 + oh2) / 2.0
+
+    # Forward edge L -> R: splice R after L. Mirror edge rc(R) -> rc(L): coordinates
+    # flip within each node (pos' = len - pos).
+    n = len(idx)
+    src = np.empty(2 * n, dtype=np.int64)
+    dst = np.empty(2 * n, dtype=np.int64)
+    es = np.empty(2 * n, dtype=np.float64)
+    osb = np.empty(2 * n, dtype=np.float64)
+    adv = np.empty(2 * n, dtype=np.int64)
+    ue = np.empty(2 * n, dtype=np.int64)
+    ve = np.empty(2 * n, dtype=np.int64)
+    row = np.empty(2 * n, dtype=np.int64)
+
+    src[0::2], dst[0::2] = l_node, r_node
+    es[0::2], osb[0::2], adv[0::2] = es2, os_, el2
+    ue[0::2], ve[0::2] = l_e, r_e
+    src[1::2], dst[1::2] = r_node ^ 1, l_node ^ 1
+    es[1::2], osb[1::2], adv[1::2] = es1, os_, el1
+    ue[1::2], ve[1::2] = r_len - r_s, l_len - l_s
+    row[0::2] = row[1::2] = idx
+
+    edges = EdgeSoA(
+        src=src.astype(np.int32), dst=dst.astype(np.int32),
+        os_=osb.astype(np.float32), es=es.astype(np.float32),
+        adv=adv.astype(np.int32), ue=ue.astype(np.int32), ve=ve.astype(np.int32),
+        row=row.astype(np.int32),
+    )
+    return edges, st

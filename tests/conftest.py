@@ -1,0 +1,39 @@
+"""Test harness: force an 8-virtual-device CPU platform (SURVEY.md §5 item 5).
+
+Must run before any jax import, hence the env mutation at module import time in
+conftest (pytest imports conftest first).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def toy_sim():
+    """Small simulated dataset shared across tests."""
+    from telomeri_tpu.sim import SimConfig, simulate
+
+    return simulate(SimConfig(genome_len=30_000, repeat_len=2_000, n_repeat_copies=2,
+                              read_len_mean=1_500, read_len_sd=200, coverage=15.0,
+                              error_rate=0.02, seed=1))
+
+
+@pytest.fixture(scope="session")
+def toy_dataset_dir(tmp_path_factory, toy_sim):
+    from telomeri_tpu.sim import write_dataset
+
+    d = tmp_path_factory.mktemp("toy")
+    write_dataset(toy_sim, str(d))
+    return str(d)
+
+
+@pytest.fixture()
+def rng():
+    return np.random.default_rng(42)

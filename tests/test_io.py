@@ -1,0 +1,80 @@
+"""Unit tests for FASTA/FASTQ/PAF ingest (SURVEY.md §5 item 1)."""
+
+import numpy as np
+import pytest
+
+from telomeri_tpu.io.fasta import read_fasta, reverse_complement, write_fasta
+from telomeri_tpu.io.paf import parse_paf
+
+
+def _seq(s: str) -> np.ndarray:
+    return np.frombuffer(s.encode(), dtype=np.uint8)
+
+
+def test_reverse_complement():
+    assert reverse_complement(_seq("ACGTN")).tobytes() == b"NACGT"
+    s = _seq("ACGTACGGTTAA")
+    assert np.array_equal(reverse_complement(reverse_complement(s)), s)
+
+
+def test_fasta_roundtrip(tmp_path):
+    names = ["a", "b with-ignored description", "c"]
+    seqs = [_seq("ACGT" * 50), _seq("G"), _seq("")]
+    p = str(tmp_path / "x.fa")
+    write_fasta(p, [n.split()[0] for n in names], seqs, width=7)
+    got = read_fasta(p)
+    assert got.names == ["a", "b", "c"]
+    for a, b in zip(got.seqs, seqs):
+        assert np.array_equal(a, b)
+    assert list(got.lengths) == [200, 1, 0]
+
+
+def test_fasta_multiline_and_crlf(tmp_path):
+    p = tmp_path / "m.fa"
+    p.write_bytes(b">x desc here\r\nACGT\r\nTTTT\r\n>y\r\nGG\r\n")
+    got = read_fasta(str(p))
+    assert got.names == ["x", "y"]
+    assert got.seqs[0].tobytes() == b"ACGTTTTT"
+    assert got.seqs[1].tobytes() == b"GG"
+
+
+def test_fastq(tmp_path):
+    p = tmp_path / "r.fq"
+    p.write_bytes(b"@r1 extra\nACGT\n+\nIIII\n@r2\nTT\n+\n!!\n")
+    got = read_fasta(str(p))
+    assert got.names == ["r1", "r2"]
+    assert got.seqs[0].tobytes() == b"ACGT"
+    assert got.seqs[1].tobytes() == b"TT"
+
+
+def test_paf_parse(tmp_path):
+    p = tmp_path / "o.paf"
+    p.write_text(
+        "r1\t100\t5\t95\t+\tc1\t500\t400\t490\t85\t90\t255\textra:i:1\n"
+        "r2\t80\t0\t60\t-\tc1\t500\t0\t60\t55\t60\t255\n"
+    )
+    idx = {"r1": 1, "r2": 2, "c1": 0}
+    rec = parse_paf(str(p), idx)
+    assert len(rec) == 2
+    assert list(rec.qid) == [1, 2]
+    assert list(rec.tid) == [0, 0]
+    assert list(rec.strand) == [0, 1]
+    assert list(rec.qstart) == [5, 0]
+    assert list(rec.tend) == [490, 60]
+    assert list(rec.nmatch) == [85, 55]
+
+
+def test_paf_unknown_name(tmp_path):
+    p = tmp_path / "o.paf"
+    p.write_text("rX\t100\t5\t95\t+\tc1\t500\t400\t490\t85\t90\t255\n")
+    with pytest.raises(KeyError):
+        parse_paf(str(p), {"c1": 0})
+    rec = parse_paf(str(p), {"c1": 0}, strict=False)
+    assert len(rec) == 0
+
+
+def test_paf_bad_row(tmp_path):
+    p = tmp_path / "bad.paf"
+    p.write_text("r1\t100\t5\n")
+    with pytest.raises(ValueError):
+        parse_paf(str(p), {})
