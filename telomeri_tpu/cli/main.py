@@ -1,0 +1,95 @@
+"""Command-line entry point (SURVEY.md §3 row 1: reference main.cpp arg parsing).
+
+Usage:
+  telomeri-tpu scaffold --contigs c.fa --reads r.fq --paf-read-contig rc.paf \
+      --paf-read-read rr.paf --out scaffolds.fa [--config cfg.json] [threshold flags]
+  telomeri-tpu simulate --out DIR [--genome-len N --repeat-len N ...]
+
+The full ScaffoldConfig (defaults + flag overrides) is serialised next to the output
+FASTA as <out>.config.json, and stage metrics as <out>.metrics.json, for
+reproducibility (SURVEY.md §6).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import sys
+
+from telomeri_tpu.config import ScaffoldConfig
+from telomeri_tpu.utils.logging import Metrics, log, setup_logging
+
+
+def _add_config_flags(p: argparse.ArgumentParser) -> None:
+    for f in dataclasses.fields(ScaffoldConfig):
+        flag = "--" + f.name.replace("_", "-")
+        p.add_argument(flag, type=type(f.default), default=None,
+                       help=f"override config field {f.name} (default {f.default})")
+
+
+def _config_from_args(args) -> ScaffoldConfig:
+    base = {}
+    if getattr(args, "config", None):
+        base = dataclasses.asdict(ScaffoldConfig.from_json(open(args.config).read()))
+    for f in dataclasses.fields(ScaffoldConfig):
+        v = getattr(args, f.name, None)
+        if v is not None:
+            base[f.name] = v
+    return ScaffoldConfig(**base)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(prog="telomeri-tpu",
+                                 description="TPU-native repeat-resolving scaffolder")
+    ap.add_argument("-v", "--verbose", action="store_true")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    s = sub.add_parser("scaffold", help="bridge contigs across repeats using long reads")
+    s.add_argument("--contigs", required=True, help="draft contigs FASTA")
+    s.add_argument("--reads", required=True, help="long reads FASTA/FASTQ")
+    s.add_argument("--paf-read-contig", required=True, help="minimap2 PAF: reads vs contigs")
+    s.add_argument("--paf-read-read", required=True, help="minimap2 PAF: reads vs reads")
+    s.add_argument("--out", required=True, help="output scaffolds FASTA")
+    s.add_argument("--config", help="ScaffoldConfig JSON (flags override it)")
+    _add_config_flags(s)
+
+    g = sub.add_parser("simulate", help="generate a synthetic test dataset")
+    g.add_argument("--out", required=True, help="output directory")
+    from telomeri_tpu.sim import SimConfig
+    for f in dataclasses.fields(SimConfig):
+        g.add_argument("--" + f.name.replace("_", "-"), type=type(f.default),
+                       default=f.default)
+    return ap
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    setup_logging(args.verbose)
+
+    if args.cmd == "simulate":
+        from telomeri_tpu.sim import SimConfig, simulate, write_dataset
+        fields = {f.name: getattr(args, f.name) for f in dataclasses.fields(SimConfig)}
+        data = simulate(SimConfig(**fields))
+        write_dataset(data, args.out)
+        log.info("wrote dataset to %s (%d contigs, %d reads, %d+%d paf rows)",
+                 args.out, len(data.contigs), len(data.reads),
+                 len(data.paf_read_contig), len(data.paf_read_read))
+        return 0
+
+    if args.cmd == "scaffold":
+        from telomeri_tpu.pipeline import run_pipeline
+        cfg = _config_from_args(args)
+        metrics = Metrics()
+        res = run_pipeline(args.contigs, args.reads, args.paf_read_contig,
+                           args.paf_read_read, args.out, cfg, metrics)
+        with open(args.out + ".config.json", "w") as f:
+            f.write(cfg.to_json())
+        metrics.dump(args.out + ".metrics.json")
+        log.info("wrote %d scaffolds to %s", len(res.scaffolds), args.out)
+        return 0
+
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

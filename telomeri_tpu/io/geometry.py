@@ -87,11 +87,14 @@ def overlap_geometry(paf: PafRecords) -> dict[str, np.ndarray]:
     te = np.where(strand == 1, paf.tlen - paf.tstart, paf.tend).astype(np.int64)
     qs, qe = paf.qstart.astype(np.int64), paf.qend.astype(np.int64)
     ql, tl = paf.qlen.astype(np.int64), paf.tlen.astype(np.int64)
+    # SI in float32 with the exact op order of kernels/scoring.py, so the filter's
+    # min_identity boundary behaves identically on host and device.
+    si = paf.nmatch.astype(np.float32) / np.maximum(paf.blocklen, 1).astype(np.float32)
     return {
         "qs": qs, "qe": qe, "ql": ql, "ts": ts, "te": te, "tl": tl,
         "lo_q": qs, "ro_q": ql - qe, "lo_t": ts, "ro_t": tl - te,
         "ol1": qe - qs, "ol2": te - ts,
-        "si": paf.nmatch.astype(np.float64) / np.maximum(paf.blocklen, 1),
+        "si": si,
     }
 
 
@@ -171,10 +174,13 @@ def build_edges(
     el2 = (r_len - r_e) - (l_len - l_e)  # right extension
     ol1 = l_e - l_s
     ol2 = r_e - r_s
-    si = g["si"][idx]
-    os_ = si * (ol1 + ol2) / 2.0
-    es2 = os_ + el2 / 2.0 - (oh1 + oh2) / 2.0
-    es1 = os_ + el1 / 2.0 - (oh1 + oh2) / 2.0
+    # Scores via the shared float32 formula (kernels/scoring.py) — bit-identical to the
+    # Pallas kernel's output (parity-tested in tests/test_scoring.py).
+    from telomeri_tpu.kernels.scoring import score_arrays_np
+
+    nm = paf.nmatch[idx]
+    bl = paf.blocklen[idx]
+    _, os_, es1, es2 = score_arrays_np(nm, bl, ol1, ol2, oh1, oh2, el1, el2)
 
     # Forward edge L -> R: splice R after L. Mirror edge rc(R) -> rc(L): coordinates
     # flip within each node (pos' = len - pos).

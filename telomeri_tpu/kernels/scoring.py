@@ -1,0 +1,122 @@
+"""Overlap-extension scoring: SI / OS / ES (SURVEY.md §3 row 5).
+
+Reference parity: the C++ reference computes these per-edge at graph build (HERA formulas;
+mount empty, SURVEY.md §0). Three implementations share ONE op order so results are
+bit-identical across host and device (SURVEY.md §7 "bit-identical" hard part):
+
+  - `score_arrays_np`    : numpy float32 oracle (host pipeline + tests)
+  - `score_overlaps_jnp` : jnp implementation (CPU fallback, vmap/jit friendly)
+  - `score_overlaps_pallas` : Pallas TPU kernel — the "overlaps scored/s" metric
+    (SURVEY.md §1 north star). Elementwise VPU work, HBM-bandwidth bound:
+    8 int32 in + 3 f32 out = 44 B/row.
+
+Formulas (ScaffoldConfig docstring has the geometry definitions):
+  SI  = nmatch / blocklen
+  OS  = SI * (OL1 + OL2) * 0.5
+  pen = (OH1 + OH2) * 0.5
+  ES1 = OS + EL1 * 0.5 - pen
+  ES2 = OS + EL2 * 0.5 - pen
+All arithmetic in float32, in exactly this order.
+
+Cross-backend precision note (measured): TPU hardware f32 division is reciprocal-multiply
+and can differ from IEEE numpy by <= 1 ulp (~2e-7 relative). CPU jnp and Pallas-interpret
+are bit-identical to the numpy oracle (tests/test_scoring.py enforces this). Therefore a
+RUN computes scores exactly once with one backend and every downstream decision (CSR edge
+order, greedy argmax, MC sampling) uses those stored scores — results are deterministic
+within a run and across hosts, while CPU-run vs TPU-run outputs may differ only if an
+ES/OS ranking decision sits within 1 ulp (not observed on test data).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Lane/sublane tiling for the Pallas kernel: rows are processed as (BLOCK_M, 128) f32 tiles.
+_LANES = 128
+_BLOCK_M = 256  # 256*128 = 32768 rows per grid step; 11 arrays * 128KiB = ~1.4 MiB VMEM
+
+
+def _score_formula(xp, nm, bl, ol1, ol2, oh1, oh2, el1, el2):
+    """The one true op order (xp = np or jnp), float32 in/out."""
+    f = lambda a: a.astype(xp.float32)
+    si = f(nm) / xp.maximum(f(bl), xp.float32(1.0))
+    os_ = si * ((f(ol1) + f(ol2)) * xp.float32(0.5))
+    pen = (f(oh1) + f(oh2)) * xp.float32(0.5)
+    es1 = os_ + f(el1) * xp.float32(0.5) - pen
+    es2 = os_ + f(el2) * xp.float32(0.5) - pen
+    return si, os_, es1, es2
+
+
+def score_arrays_np(nm, bl, ol1, ol2, oh1, oh2, el1, el2):
+    """Numpy float32 oracle. Returns (si, os, es1, es2)."""
+    return _score_formula(np, nm, bl, ol1, ol2, oh1, oh2, el1, el2)
+
+
+@jax.jit
+def score_overlaps_jnp(nm, bl, ol1, ol2, oh1, oh2, el1, el2):
+    """jnp implementation (any backend). Returns (si, os, es1, es2)."""
+    return _score_formula(jnp, nm, bl, ol1, ol2, oh1, oh2, el1, el2)
+
+
+def _score_kernel(nm, bl, ol1, ol2, oh1, oh2, el1, el2, si_o, os_o, es1_o, es2_o):
+    si, os_, es1, es2 = _score_formula(
+        jnp, nm[:], bl[:], ol1[:], ol2[:], oh1[:], oh2[:], el1[:], el2[:]
+    )
+    si_o[:] = si
+    os_o[:] = os_
+    es1_o[:] = es1
+    es2_o[:] = es2
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def score_overlaps_pallas(nm, bl, ol1, ol2, oh1, oh2, el1, el2, *, interpret=False):
+    """Pallas TPU scoring kernel over 1-D int32 row arrays.
+
+    Pads rows to a (M, 128) f32 tile grid, runs an elementwise VPU kernel with a
+    1-D grid over row blocks, and slices the padding back off. Returns
+    (si, os, es1, es2) float32 arrays of the input length.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = nm.shape[0]
+    cols = _LANES
+    rows = max(pl.cdiv(n, cols), 1)
+    # pad rows so the grid divides evenly
+    rows_pad = pl.cdiv(rows, _BLOCK_M) * _BLOCK_M
+    total = rows_pad * cols
+
+    def prep(a):
+        a = jnp.asarray(a, jnp.int32)
+        return jnp.pad(a, (0, total - n)).reshape(rows_pad, cols)
+
+    ins = [prep(a) for a in (nm, bl, ol1, ol2, oh1, oh2, el1, el2)]
+    grid = (rows_pad // _BLOCK_M,)
+    spec = pl.BlockSpec((_BLOCK_M, cols), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((rows_pad, cols), jnp.float32)
+
+    si, os_, es1, es2 = pl.pallas_call(
+        _score_kernel,
+        grid=grid,
+        in_specs=[spec] * 8,
+        out_specs=(spec,) * 4,
+        out_shape=(out_shape,) * 4,
+        interpret=interpret,
+    )(*ins)
+    flat = lambda a: a.reshape(total)[:n]
+    return flat(si), flat(os_), flat(es1), flat(es2)
+
+
+def score_overlaps(nm, bl, ol1, ol2, oh1, oh2, el1, el2, backend: str = "auto"):
+    """Dispatch: 'pallas' on TPU, 'jnp' elsewhere (backend='auto')."""
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "jnp"
+    if backend == "pallas":
+        return score_overlaps_pallas(nm, bl, ol1, ol2, oh1, oh2, el1, el2)
+    if backend == "pallas_interpret":
+        return score_overlaps_pallas(nm, bl, ol1, ol2, oh1, oh2, el1, el2, interpret=True)
+    return score_overlaps_jnp(nm, bl, ol1, ol2, oh1, oh2, el1, el2)

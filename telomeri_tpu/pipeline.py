@@ -1,0 +1,131 @@
+"""End-to-end scaffolding pipeline (SURVEY.md §4.2 call stack).
+
+cli.main -> config -> io.ingest (host) -> graph.tensorize -> [device] walks -> consensus
+-> [host] conflict resolution -> stitching -> FASTA. Mirrors the reference's single
+`main()` pipeline (SURVEY.md §4.1; mount empty, SURVEY.md §0).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from telomeri_tpu.config import ScaffoldConfig
+from telomeri_tpu.consensus.grouping import compress, group_and_select, summarize
+from telomeri_tpu.graph.tensorize import GraphTensors, tensorize
+from telomeri_tpu.io.fasta import SequenceSet, read_fasta, write_fasta
+from telomeri_tpu.io.geometry import EdgeSoA, build_edges
+from telomeri_tpu.io.paf import PafRecords, parse_paf
+from telomeri_tpu.scaffold.bridge import resolve_conflicts
+from telomeri_tpu.scaffold.stitch import Scaffold, Stitcher, emit_scaffolds, extract_path
+from telomeri_tpu.utils.logging import Metrics, log
+from telomeri_tpu.walk.engine import WalkResult, run_walks_host
+from telomeri_tpu.walk.plan import WalkPlan, plan_walks
+
+
+@dataclass
+class PipelineResult:
+    scaffolds: list[Scaffold]
+    graph: GraphTensors
+    edges: EdgeSoA
+    plan: WalkPlan
+    walks: WalkResult
+    bridges: list[dict]
+    accepted: list
+    metrics: Metrics
+
+
+def load_inputs(contigs_path: str, reads_path: str, paf_rc_path: str, paf_rr_path: str,
+                metrics: Metrics | None = None):
+    """Host ingest: sequences + name table + concatenated PAF rows."""
+    metrics = metrics or Metrics()
+    with metrics.stage("load_sequences"):
+        contigs = read_fasta(contigs_path)
+        reads = read_fasta(reads_path)
+    name_index = {n: i for i, n in enumerate(contigs.names)}
+    for i, n in enumerate(reads.names):
+        if n in name_index:
+            raise ValueError(f"read name {n!r} collides with a contig name")
+        name_index[n] = len(contigs) + i
+    with metrics.stage("parse_paf"):
+        paf = PafRecords.concatenate([
+            parse_paf(paf_rc_path, name_index),
+            parse_paf(paf_rr_path, name_index),
+        ])
+    return contigs, reads, paf
+
+
+def build_graph(contigs: SequenceSet, reads: SequenceSet, paf: PafRecords,
+                cfg: ScaffoldConfig, metrics: Metrics | None = None):
+    metrics = metrics or Metrics()
+    n_seqs = len(contigs) + len(reads)
+    with metrics.stage("build_edges"):
+        edges, fstats = build_edges(paf, cfg, n_seqs)
+    metrics.set("filter", fstats.as_dict())
+    with metrics.stage("tensorize"):
+        seq_len = np.concatenate([
+            contigs.lengths, reads.lengths]) if n_seqs else np.empty(0, np.int64)
+        graph = tensorize(edges, seq_len, len(contigs), cfg)
+    metrics.set("graph", graph.stats)
+    return edges, graph
+
+
+def run_pipeline(
+    contigs_path: str,
+    reads_path: str,
+    paf_rc_path: str,
+    paf_rr_path: str,
+    out_path: str | None,
+    cfg: ScaffoldConfig = ScaffoldConfig(),
+    metrics: Metrics | None = None,
+) -> PipelineResult:
+    metrics = metrics or Metrics()
+    contigs, reads, paf = load_inputs(
+        contigs_path, reads_path, paf_rc_path, paf_rr_path, metrics)
+    edges, graph = build_graph(contigs, reads, paf, cfg, metrics)
+
+    with metrics.stage("plan_walks"):
+        plan = plan_walks(graph, cfg)
+    metrics.set("n_walks", plan.n_active)
+
+    with metrics.stage("run_walks"):
+        walks = run_walks_host(graph, plan, cfg)
+    n_succ = int(np.asarray(walks.success).sum())
+    metrics.set("n_walks_successful", n_succ)
+    log.info("walks: %d planned, %d successful", plan.n_active, n_succ)
+
+    with metrics.stage("consensus"):
+        summary = summarize(walks, plan.uid)
+        cons = group_and_select(
+            summary, n_anchors=graph.n_anchors,
+            group_window=cfg.group_window, min_support=cfg.min_group_support)
+        bridges = compress(cons)
+    metrics.set("n_bridges_candidate", len(bridges))
+
+    with metrics.stage("resolve_conflicts"):
+        accepted = resolve_conflicts(bridges)
+    metrics.set("n_bridges_accepted", len(accepted))
+    log.info("bridges: %d candidates, %d accepted", len(bridges), len(accepted))
+
+    with metrics.stage("stitch"):
+        wn = np.asarray(walks.nodes)
+        we = np.asarray(walks.eids)
+        ws = np.asarray(walks.steps)
+        paths = {
+            b.rep_uid: extract_path(wn[b.rep_uid], we[b.rep_uid], int(ws[b.rep_uid]))
+            for b in accepted
+        }
+        stitcher = Stitcher(contigs, reads, edges)
+        scaffolds = emit_scaffolds(accepted, paths, stitcher)
+    metrics.set("n_scaffolds", len(scaffolds))
+    metrics.set("scaffold_lengths", [int(len(s.seq)) for s in scaffolds])
+
+    if out_path:
+        with metrics.stage("write_fasta"):
+            write_fasta(out_path, [s.name for s in scaffolds], [s.seq for s in scaffolds])
+
+    return PipelineResult(
+        scaffolds=scaffolds, graph=graph, edges=edges, plan=plan, walks=walks,
+        bridges=bridges, accepted=accepted, metrics=metrics,
+    )

@@ -1,0 +1,89 @@
+"""Bridge conflict resolution (host; tiny N — SURVEY.md §3 row 13).
+
+Reference parity: the C++ reference's scaffold-conflict logic (mount empty, SURVEY.md §0).
+Normative rules (deterministic):
+
+  1. Candidate bridges are the consensus output, ordered by (support count desc,
+     rep_score desc, canonical pair asc).
+  2. Each PHYSICAL contig end — (contig, Left|Right) — may be used by at most one bridge.
+  3. A bridge is rejected if its two endpoints resolve to the same physical end
+     (inversion self-loop) or if its contigs are already in the same scaffold chain
+     (cycle prevention, union-find).
+  4. Surviving bridges are accepted greedily in rule-1 order.
+
+Physical-end mapping (node encoding in io/geometry.py): a walk STARTS at oriented anchor
+u = 2c+o and extends past c's Right end if o == 0, else its Left end. A walk TERMINATES
+entering oriented anchor v = 2c'+o' from its left, i.e. through c''s Left end if o' == 0,
+else its Right end.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class End:
+    contig: int
+    right: bool  # True = Right end
+
+    def __repr__(self) -> str:
+        return f"{self.contig}{'R' if self.right else 'L'}"
+
+
+def start_end(u: int) -> End:
+    """Physical end a walk leaves from, given its start node u = 2c+o."""
+    return End(u // 2, u % 2 == 0)
+
+
+def terminal_end(v: int) -> End:
+    """Physical end a walk arrives at, given its terminal node v = 2c'+o'."""
+    return End(v // 2, v % 2 == 1)
+
+
+@dataclass
+class Bridge:
+    pair: tuple[int, int]   # canonical (a, b) oriented anchor nodes
+    count: int
+    rep_score: float
+    rep_uid: int
+    end_a: End
+    end_b: End
+
+
+def make_bridge(row: dict) -> Bridge:
+    a, b = row["pair"]
+    return Bridge(
+        pair=(a, b), count=row["count"], rep_score=row["rep_score"],
+        rep_uid=row["rep_uid"], end_a=start_end(a), end_b=terminal_end(b),
+    )
+
+
+def resolve_conflicts(rows: list[dict]) -> list[Bridge]:
+    """Greedy accept per rules 1-4. Input rows are consensus/compress() dicts."""
+    bridges = [make_bridge(r) for r in rows]
+    bridges.sort(key=lambda b: (-b.count, -b.rep_score, b.pair))
+
+    used: set[End] = set()
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    accepted = []
+    for b in bridges:
+        if b.end_a == b.end_b:
+            continue  # rule 3: inversion self-loop
+        if b.end_a in used or b.end_b in used:
+            continue  # rule 2
+        ra, rb = find(b.end_a.contig), find(b.end_b.contig)
+        if ra == rb:
+            continue  # rule 3: cycle
+        parent[ra] = rb
+        used.add(b.end_a)
+        used.add(b.end_b)
+        accepted.append(b)
+    return accepted

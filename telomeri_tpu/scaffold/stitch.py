@@ -1,0 +1,214 @@
+"""Scaffold chain assembly + sequence stitching (host — SURVEY.md §3 row 14).
+
+Reference parity: the C++ reference's SequenceGenerator splicing (mount empty,
+SURVEY.md §0). Semantics:
+
+A scaffold chain is a maximal path of contigs connected by accepted bridges. Each bridge
+carries its representative walk: oriented nodes [u, r1, ..., rk, v] and edge ids. The
+spliced sequence follows io/geometry.py's coordinate contract: appending edge u->v (with
+aligned-block ends ue on u, ve on v, both in oriented coordinates) to a scaffold where u
+starts at global offset g_u means
+
+    cut the scaffold back to g_u + ue, append oriented_seq(v)[ve:], set g_v = g_u + ue - ve.
+
+Walk direction vs chain direction: bridges are stored in the representative walk's own
+direction. Traversing a chain may need the mirror: nodes reversed and orientation-flipped
+(n ^ 1), edge ids reversed and mirror-flipped (eid ^ 1 — build_edges emits forward/mirror
+edges as adjacent even/odd pairs).
+
+Determinism: chains are emitted sorted by their smallest contig id, each traversed from
+the endpoint with the smaller (contig id, Left<Right) key; singleton contigs are emitted
+as-is, forward. Output FASTA order: scaffolds then singletons, by that key.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from telomeri_tpu.io.fasta import SequenceSet, reverse_complement
+from telomeri_tpu.io.geometry import EdgeSoA
+from telomeri_tpu.scaffold.bridge import Bridge, End
+
+
+@dataclass
+class WalkPath:
+    """A representative walk's realized path (host numpy extraction)."""
+
+    nodes: list[int]
+    eids: list[int]
+
+    def mirrored(self) -> "WalkPath":
+        return WalkPath(
+            nodes=[n ^ 1 for n in reversed(self.nodes)],
+            eids=[e ^ 1 for e in reversed(self.eids)],
+        )
+
+
+def extract_path(walk_nodes: np.ndarray, walk_eids: np.ndarray, steps: int) -> WalkPath:
+    return WalkPath(
+        nodes=[int(n) for n in walk_nodes[: steps + 1]],
+        eids=[int(e) for e in walk_eids[:steps]],
+    )
+
+
+@dataclass
+class Scaffold:
+    name: str
+    seq: np.ndarray
+    # composition: list of (kind, id, orient) tuples; kind in {"contig", "read"}
+    parts: list[tuple[str, int, int]] = field(default_factory=list)
+
+
+class _Splicer:
+    """Growing byte sequence with trim-to-position splicing."""
+
+    def __init__(self, first: np.ndarray):
+        self.chunks: list[np.ndarray] = [first]
+        self.length = len(first)
+
+    def trim_to(self, n: int) -> None:
+        assert 0 <= n <= self.length
+        drop = self.length - n
+        while drop > 0:
+            last = self.chunks[-1]
+            if len(last) <= drop:
+                drop -= len(last)
+                self.chunks.pop()
+            else:
+                self.chunks[-1] = last[: len(last) - drop]
+                drop = 0
+        self.length = n
+
+    def append(self, a: np.ndarray) -> None:
+        self.chunks.append(a)
+        self.length += len(a)
+
+    def result(self) -> np.ndarray:
+        return np.concatenate(self.chunks) if self.chunks else np.empty(0, np.uint8)
+
+
+class Stitcher:
+    def __init__(self, contigs: SequenceSet, reads: SequenceSet, edges: EdgeSoA):
+        self.contigs = contigs
+        self.reads = reads
+        self.edges = edges
+        self.n_contigs = len(contigs)
+
+    def seq_of(self, node: int) -> np.ndarray:
+        sid, o = node // 2, node % 2
+        s = (self.contigs.seqs[sid] if sid < self.n_contigs
+             else self.reads.seqs[sid - self.n_contigs])
+        return reverse_complement(s) if o else s
+
+    def kind_of(self, node: int) -> tuple[str, int, int]:
+        sid, o = node // 2, node % 2
+        if sid < self.n_contigs:
+            return ("contig", sid, o)
+        return ("read", sid - self.n_contigs, o)
+
+    def stitch_chain(self, name: str, node_path: list[int], eid_path: list[int]) -> Scaffold:
+        """Splice a full chain path (anchors and reads interleaved)."""
+        sp = _Splicer(self.seq_of(node_path[0]))
+        g_u = 0
+        parts = [self.kind_of(node_path[0])]
+        for node, eid in zip(node_path[1:], eid_path):
+            ue = int(self.edges.ue[eid])
+            ve = int(self.edges.ve[eid])
+            if int(self.edges.src[eid]) != node_path[len(parts) - 1] or \
+               int(self.edges.dst[eid]) != node:
+                raise ValueError(
+                    f"edge {eid} ({self.edges.src[eid]}->{self.edges.dst[eid]}) does not "
+                    f"match path step {node_path[len(parts) - 1]}->{node}")
+            cut = g_u + ue
+            sp.trim_to(cut)
+            seq_v = self.seq_of(node)
+            sp.append(seq_v[ve:])
+            g_u = cut - ve
+            parts.append(self.kind_of(node))
+        return Scaffold(name=name, seq=sp.result(), parts=parts)
+
+
+def build_chains(accepted: list[Bridge], paths: dict[int, WalkPath],
+                 n_contigs: int) -> list[list[tuple[Bridge, bool]]]:
+    """Order accepted bridges into chains.
+
+    Returns, per chain, the bridges in traversal order with a `mirrored` flag
+    (True = the chain crosses the bridge from end_b to end_a).
+    """
+    by_end: dict[End, tuple[Bridge, bool]] = {}
+    for b in accepted:
+        # forward traversal leaves end_a; mirrored traversal leaves end_b
+        by_end[b.end_a] = (b, False)
+        by_end[b.end_b] = (b, True)
+
+    in_chain: set[int] = set()
+    chains: list[list[tuple[Bridge, bool]]] = []
+    # deterministic start order: contigs ascending, each trying Left then Right
+    for c in range(n_contigs):
+        if c in in_chain:
+            continue
+        ends_here = [e for e in (End(c, False), End(c, True)) if e in by_end]
+        if not ends_here:
+            continue
+        if len(ends_here) == 2:
+            continue  # interior contig; its chain starts elsewhere
+        chain: list[tuple[Bridge, bool]] = []
+        in_chain.add(c)
+        # leave through the single used end
+        leave = ends_here[0]
+        while leave in by_end:
+            b, mirrored = by_end[leave]
+            chain.append((b, mirrored))
+            arrive = b.end_b if not mirrored else b.end_a
+            nxt = arrive.contig
+            in_chain.add(nxt)
+            # continue out the other end of nxt
+            leave = End(nxt, not arrive.right)
+        chains.append(chain)
+    return chains
+
+
+def emit_scaffolds(
+    accepted: list[Bridge],
+    paths: dict[int, WalkPath],
+    stitcher: Stitcher,
+) -> list[Scaffold]:
+    """Assemble all scaffolds + singleton contigs, deterministically ordered."""
+    n_contigs = stitcher.n_contigs
+    chains = build_chains(accepted, paths, n_contigs)
+
+    scaffolds: list[Scaffold] = []
+    used: set[int] = set()
+    for chain in chains:
+        node_path: list[int] = []
+        eid_path: list[int] = []
+        for b, mirrored in chain:
+            wp = paths[b.rep_uid]
+            # the stored walk may run in either direction of the canonical pair;
+            # orient it to start at the node we are leaving from
+            want_start = b.pair[0] if not mirrored else b.pair[1] ^ 1
+            if wp.nodes[0] != want_start:
+                wp = wp.mirrored()
+            if wp.nodes[0] != want_start:
+                raise ValueError(f"bridge walk does not connect {want_start}: {wp.nodes}")
+            if not node_path:
+                node_path = list(wp.nodes)
+                eid_path = list(wp.eids)
+            else:
+                assert wp.nodes[0] == node_path[-1], (wp.nodes[0], node_path[-1])
+                node_path += wp.nodes[1:]
+                eid_path += wp.eids
+        first_contig = min(n // 2 for n in node_path if n // 2 < n_contigs)
+        sc = stitcher.stitch_chain(f"scaffold_{first_contig:05d}", node_path, eid_path)
+        scaffolds.append(sc)
+        used.update(n // 2 for n in node_path if n // 2 < n_contigs)
+
+    for c in range(n_contigs):
+        if c not in used:
+            scaffolds.append(Scaffold(
+                name=f"scaffold_{c:05d}", seq=stitcher.contigs.seqs[c],
+                parts=[("contig", c, 0)]))
+    scaffolds.sort(key=lambda s: s.name)
+    return scaffolds

@@ -1,0 +1,129 @@
+"""Scalar single-walk oracle: the obviously-correct reference for the walk engine.
+
+Two roles (SURVEY.md §5 item 2 and §7 "Performance baseline"):
+  1. Parity testing: with `choice_fn = jax_choice_fn(seed)` wired to the SAME
+     jax.random stream the engine uses, every decision (greedy and Monte-Carlo) must
+     match walk/engine.py exactly.
+  2. CPU baseline: with the fast default RNG, this is the "single-core CPU reference"
+     whose walks/s the TPU engine must beat by >= 100x (BASELINE.md — the C++ reference
+     was unreadable, so this oracle stands in; it is a faithful scalar transcription of
+     the same per-step work the C++ tool performs).
+"""
+
+from __future__ import annotations
+
+import random
+from dataclasses import dataclass
+
+import numpy as np
+
+from telomeri_tpu.graph.tensorize import GraphTensors
+from telomeri_tpu.walk.plan import MODE_GREEDY_OS, MODE_MC
+
+
+@dataclass
+class OracleWalk:
+    nodes: list[int]
+    eids: list[int]
+    steps: int
+    success: bool
+    terminal: int
+    path_len: int
+    score_sum: float
+
+
+def jax_choice_fn(seed: int):
+    """Per-(uid, step) categorical sampler matching walk/engine.py's stream exactly:
+    calls the very same jax.random.categorical with the very same folded key."""
+    import jax
+    import jax.numpy as jnp
+
+    base = jax.random.key(seed)
+    cache: dict[int, object] = {}
+
+    def fn(uid: int, step: int, wts: np.ndarray) -> int:
+        wk = cache.get(uid)
+        if wk is None:
+            wk = cache[uid] = jax.random.fold_in(base, uid)
+        eligible = wts > 0
+        logits = jnp.where(eligible, jnp.log(jnp.where(eligible, wts, 1.0)), -jnp.inf)
+        return int(jax.random.categorical(jax.random.fold_in(wk, step), logits))
+
+    return fn
+
+
+def fast_choice_fn(seed: int):
+    """Cheap python RNG for baseline benchmarking (decisions need not match the engine)."""
+    rngs: dict[int, random.Random] = {}
+
+    def fn(uid: int, step: int, wts: np.ndarray) -> int:
+        r = rngs.get(uid)
+        if r is None:
+            r = rngs[uid] = random.Random((seed << 32) ^ uid)
+        tot = float(wts.sum())
+        x = r.random() * tot
+        acc = 0.0
+        for j, v in enumerate(wts):
+            if v <= 0:
+                continue
+            acc += float(v)
+            if acc > x:
+                return j
+        return int(np.argmax(wts))
+
+    return fn
+
+
+def walk_oracle(
+    g: GraphTensors,
+    start: int,
+    first_edge: int,
+    mode: int,
+    uid: int,
+    max_steps: int,
+    choice_fn,
+) -> OracleWalk:
+    """One walk, scalar semantics identical to run_walks (see engine docstring)."""
+    anchor_lim = 2 * g.n_anchors
+    nbr, es, osb, adv, eid = g.nbr, g.es, g.os_, g.adv, g.eid
+    cur = start
+    path = [start]
+    eids: list[int] = []
+    plen = 0
+    score = np.float32(0.0)
+    for s in range(max_steps):
+        row_n = nbr[cur]
+        row_es = es[cur]
+        row_os = osb[cur]
+        k = len(row_n)
+        valid = [row_n[j] >= 0 and int(row_n[j]) not in path for j in range(k)]
+
+        if s == 0 and first_edge >= 0:
+            choice = first_edge
+            if not valid[choice]:
+                break
+        elif mode == MODE_MC:
+            wts = np.where(
+                np.array(valid) & (row_es > 0), row_es, np.float32(0.0)
+            ).astype(np.float32)
+            if not (wts > 0).any():
+                break
+            choice = choice_fn(uid, s, wts)
+        else:
+            key = row_os if mode == MODE_GREEDY_OS else row_es
+            best, choice = -np.inf, -1
+            for j in range(k):
+                if valid[j] and key[j] > best:
+                    best, choice = float(key[j]), j
+            if choice < 0:
+                break
+
+        nxt = int(nbr[cur][choice])
+        plen += int(adv[cur][choice])
+        score = np.float32(score + es[cur][choice])
+        path.append(nxt)
+        eids.append(int(eid[cur][choice]))
+        if nxt < anchor_lim:
+            return OracleWalk(path, eids, len(eids), True, nxt, plen, float(score))
+        cur = nxt
+    return OracleWalk(path, eids, len(eids), False, -1, plen, float(score))

@@ -6,10 +6,17 @@ conftest (pytest imports conftest first).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+# The container ships an `axon` sitecustomize that force-sets jax_platforms to the
+# remote TPU regardless of JAX_PLATFORMS; override it via config before any backend
+# is initialised (tests must run on the virtual 8-device CPU mesh).
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -1,0 +1,69 @@
+"""End-to-end pipeline tests on simulated data (SURVEY.md §5 item 4).
+
+The simulator plants exact repeats that break the draft assembly into 3 contigs; a
+correct pipeline bridges them back into a single scaffold whose sequence is positionally
+identical to the truth genome (substitution-only errors -> length matches EXACTLY, and
+identity is bounded below by the read error rate)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from telomeri_tpu.config import ScaffoldConfig
+from telomeri_tpu.io.fasta import read_fasta
+from telomeri_tpu.pipeline import run_pipeline
+
+CFG = ScaffoldConfig(mc_walks_per_end=50, max_steps=32, min_group_support=2)
+
+
+@pytest.fixture(scope="module")
+def result(toy_dataset_dir, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("out") / "scaffolds.fa")
+    res = run_pipeline(
+        os.path.join(toy_dataset_dir, "contigs.fa"),
+        os.path.join(toy_dataset_dir, "reads.fa"),
+        os.path.join(toy_dataset_dir, "read2contig.paf"),
+        os.path.join(toy_dataset_dir, "read2read.paf"),
+        out, CFG,
+    )
+    return res, out, toy_dataset_dir
+
+
+def test_bridges_found_and_accepted(result):
+    res, _, _ = result
+    assert len(res.bridges) >= 2
+    assert len(res.accepted) == 2  # 3 contigs -> 2 junctions
+
+
+def test_single_scaffold_reconstructs_genome(result):
+    res, _, d = result
+    genome = read_fasta(os.path.join(d, "genome.fa")).seqs[0]
+    assert len(res.scaffolds) == 1
+    sc = res.scaffolds[0]
+    assert len(sc.seq) == len(genome), "positional splicing must preserve exact length"
+    identity = float(np.mean(sc.seq == genome))
+    assert identity > 0.95, f"identity {identity:.4f}"
+    # contig composition in order, all three contigs present
+    contig_ids = [p[1] for p in sc.parts if p[0] == "contig"]
+    assert contig_ids == [0, 1, 2] or contig_ids == [2, 1, 0]
+
+
+def test_output_fasta_written_deterministically(result, toy_dataset_dir, tmp_path):
+    res, out, d = result
+    b1 = open(out, "rb").read()
+    out2 = str(tmp_path / "again.fa")
+    run_pipeline(
+        os.path.join(d, "contigs.fa"), os.path.join(d, "reads.fa"),
+        os.path.join(d, "read2contig.paf"), os.path.join(d, "read2read.paf"),
+        out2, CFG,
+    )
+    assert open(out2, "rb").read() == b1, "same seed + inputs must be byte-identical"
+
+
+def test_metrics_populated(result):
+    res, _, _ = result
+    m = res.metrics.as_dict()
+    assert m["metrics"]["n_walks"] > 0
+    assert m["metrics"]["n_walks_successful"] > 0
+    assert "run_walks" in m["timings_s"]

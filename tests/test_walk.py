@@ -1,0 +1,182 @@
+"""Walk engine tests: semantics, determinism, and engine≡oracle parity
+(SURVEY.md §5 items 2-3)."""
+
+import numpy as np
+import pytest
+
+from telomeri_tpu.config import ScaffoldConfig
+from telomeri_tpu.graph.tensorize import GraphTensors
+from telomeri_tpu.walk.engine import graph_to_device, plan_to_device, run_walks
+from telomeri_tpu.walk.oracle import fast_choice_fn, jax_choice_fn, walk_oracle
+from telomeri_tpu.walk.plan import MODE_GREEDY_ES, MODE_GREEDY_OS, MODE_MC, WalkPlan, plan_walks
+
+
+def mk_graph(n_nodes, n_anchors, k, rows):
+    """rows: {src: [(dst, es, os, adv), ...]}"""
+    nbr = np.full((n_nodes, k), -1, np.int32)
+    es = np.zeros((n_nodes, k), np.float32)
+    osb = np.zeros((n_nodes, k), np.float32)
+    adv = np.zeros((n_nodes, k), np.int32)
+    eid = np.full((n_nodes, k), -1, np.int32)
+    e = 0
+    for src, lst in rows.items():
+        # engine contract: rows sorted by (ES desc, dst asc)
+        lst = sorted(lst, key=lambda t: (-t[1], t[0]))
+        for j, (dst, e_s, o_s, a) in enumerate(lst):
+            nbr[src, j], es[src, j], osb[src, j], adv[src, j], eid[src, j] = dst, e_s, o_s, a, e
+            e += 1
+    deg = (nbr >= 0).sum(1).astype(np.int32)
+    return GraphTensors(nbr=nbr, es=es, os_=osb, adv=adv, eid=eid, deg=deg,
+                        seq_len=np.full(n_nodes // 2, 100, np.int32), n_anchors=n_anchors)
+
+
+def mk_plan(starts, firsts, modes):
+    n = len(starts)
+    return WalkPlan(
+        start=np.array(starts, np.int32), first_edge=np.array(firsts, np.int32),
+        mode=np.array(modes, np.int32), uid=np.arange(n, dtype=np.int32),
+        active=np.ones(n, bool),
+    )
+
+
+def run(g, p, seed=0, max_steps=8):
+    return run_walks(graph_to_device(g), plan_to_device(p), seed,
+                     n_anchors=g.n_anchors, max_steps=max_steps).to_numpy()
+
+
+# anchors: contigs 0,1 -> nodes 0..3 ; reads -> nodes 4..
+def chain_graph():
+    # 0 -> 4 -> 6 -> 2 (anchor), plus dead-end 4 -> 8
+    return mk_graph(10, 2, 4, {
+        0: [(4, 10.0, 5.0, 100)],
+        4: [(6, 8.0, 4.0, 200), (8, 1.0, 9.0, 50)],
+        8: [],
+        6: [(2, 6.0, 3.0, 300)],
+    })
+
+
+def test_greedy_es_reaches_anchor():
+    g = chain_graph()
+    r = run(g, mk_plan([0], [-1], [MODE_GREEDY_ES]))
+    assert r.success[0] and r.terminal[0] == 2
+    assert r.steps[0] == 3
+    assert list(r.nodes[0][:4]) == [0, 4, 6, 2]
+    assert r.path_len[0] == 600
+    assert r.score_sum[0] == pytest.approx(24.0)
+    assert list(r.eids[0][:3]) == [0, 1, 3]
+
+
+def test_greedy_os_takes_other_branch_and_dies():
+    g = chain_graph()  # at node 4, OS prefers dst 8 (os=9) which is a dead end
+    r = run(g, mk_plan([0], [-1], [MODE_GREEDY_OS]))
+    assert not r.success[0]
+    assert list(r.nodes[0][:3]) == [0, 4, 8]
+    assert r.steps[0] == 2
+
+
+def test_first_edge_override():
+    g = chain_graph()
+    # at step 0 node 0 has only edge slot 0; slot 1 is invalid -> walk dies at once
+    r = run(g, mk_plan([0, 0], [0, 1], [MODE_GREEDY_ES, MODE_GREEDY_ES]))
+    assert r.success[0] and r.steps[1] == 0 and not r.success[1]
+
+
+def test_cycle_kill():
+    # 0 -> 4 -> 6 -> 4 cycle; revisit masked -> dies at 6 (only edge back to 4)
+    g = mk_graph(8, 1, 2, {
+        0: [(4, 5.0, 5.0, 10)],
+        4: [(6, 5.0, 5.0, 10)],
+        6: [(4, 5.0, 5.0, 10)],
+    })
+    r = run(g, mk_plan([0], [-1], [MODE_GREEDY_ES]))
+    assert not r.success[0]
+    assert r.steps[0] == 2
+    assert list(r.nodes[0][:3]) == [0, 4, 6]
+
+
+def test_inactive_walks_never_step():
+    g = chain_graph()
+    p = mk_plan([0, 0], [-1, -1], [MODE_GREEDY_ES, MODE_GREEDY_ES])
+    p.active[1] = False
+    r = run(g, p)
+    assert r.success[0] and not r.success[1] and r.steps[1] == 0
+
+
+def test_mc_seed_determinism_and_batch_invariance():
+    g = chain_graph()
+    p1 = mk_plan([0] * 4, [-1] * 4, [MODE_MC] * 4)
+    r1 = run(g, p1, seed=7)
+    r2 = run(g, p1, seed=7)
+    np.testing.assert_array_equal(r1.nodes, r2.nodes)
+
+    # embed the same uids in a bigger padded batch: per-uid results must not change
+    p2 = mk_plan([0] * 16, [-1] * 16, [MODE_MC] * 16)
+    p2.active[4:] = False
+    p2.start[4:] = 0
+    r3 = run(g, p2, seed=7)
+    np.testing.assert_array_equal(r1.nodes, r3.nodes[:4])
+    np.testing.assert_array_equal(r1.path_len, r3.path_len[:4])
+
+
+def test_mc_distribution_follows_es():
+    # node 0 -> {2 (anchor, es=9), 4 (read, es=1)}: ~90% of MC walks end at 2 in 1 step
+    g = mk_graph(6, 2, 2, {0: [(2, 9.0, 1.0, 10), (4, 1.0, 1.0, 10)], 4: []})
+    n = 500
+    p = mk_plan([0] * n, [-1] * n, [MODE_MC] * n)
+    r = run(g, p, seed=3)
+    frac = (r.nodes[:, 1] == 2).mean()
+    assert 0.85 < frac < 0.95
+
+
+def random_graph(rng, n_seqs=40, n_anchors=4, k=8):
+    n_nodes = 2 * n_seqs
+    rows = {}
+    for u in range(n_nodes):
+        if rng.random() < 0.15:
+            continue
+        deg = int(rng.integers(1, k + 1))
+        dsts = rng.choice(n_nodes, size=deg, replace=False)
+        rows[u] = [
+            (int(d), float(np.float32(rng.uniform(0.1, 50))),
+             float(np.float32(rng.uniform(0.1, 50))), int(rng.integers(1, 500)))
+            for d in dsts
+        ]
+    return mk_graph(n_nodes, n_anchors, k, rows)
+
+
+@pytest.mark.parametrize("mode", [MODE_GREEDY_OS, MODE_GREEDY_ES, MODE_MC])
+def test_engine_matches_oracle(rng, mode):
+    g = random_graph(rng)
+    cfg = ScaffoldConfig(mc_walks_per_end=3, max_steps=10)
+    plan = plan_walks(g, cfg)
+    sel = np.flatnonzero(plan.active & (plan.mode == mode))[:40]
+    r = run(g, plan, seed=11, max_steps=10)
+    choice = jax_choice_fn(11)
+    for i in sel:
+        o = walk_oracle(g, int(plan.start[i]), int(plan.first_edge[i]), mode,
+                        int(plan.uid[i]), 10, choice)
+        n_real = o.steps + 1
+        assert list(r.nodes[i][:n_real]) == o.nodes, f"walk {i}"
+        assert r.steps[i] == o.steps
+        assert bool(r.success[i]) == o.success
+        assert r.terminal[i] == o.terminal
+        assert r.path_len[i] == o.path_len
+        assert r.score_sum[i] == pytest.approx(o.score_sum, rel=1e-6)
+
+
+def test_plan_walks_enumeration():
+    g = chain_graph()
+    cfg = ScaffoldConfig(mc_walks_per_end=5, walk_batch_multiple=8)
+    p = plan_walks(g, cfg)
+    # anchor ends with deg>0: node 0 (deg 1) -> 2 greedy + 5 mc = 7 walks
+    assert p.n_active == 7
+    assert len(p) % 8 == 0
+    assert (p.uid == np.arange(len(p))).all()
+
+
+def test_fast_choice_fn_valid():
+    fn = fast_choice_fn(0)
+    w = np.array([0.0, 2.0, 0.0, 1.0], np.float32)
+    for s in range(20):
+        c = fn(0, s, w)
+        assert c in (1, 3)
