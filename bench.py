@@ -1,0 +1,154 @@
+"""Benchmark harness: Monte-Carlo walks/s/chip (primary) + overlaps scored/s.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where vs_baseline is
+the speedup of the TPU walk engine over the single-core scalar oracle (BASELINE.md
+target: >= 100x; the C++ reference was unreadable, SURVEY.md §0, so the oracle is the
+measured stand-in — walk/oracle.py performs the same per-step work).
+
+Timed region (SURVEY.md §4.3): run_walks on device-resident graph+plan, after one
+warmup compile; median of N repeats. Host ingest excluded. Secondary metrics go to
+stderr.
+
+Env knobs: BENCH_SCALE (default "ecoli-like"), BENCH_REPEATS, BENCH_MC_WALKS.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def build_problem(mc_walks_per_end: int):
+    from telomeri_tpu.config import ScaffoldConfig
+    from telomeri_tpu.pipeline import build_graph, load_inputs
+    from telomeri_tpu.sim import SimConfig, simulate, write_dataset
+    from telomeri_tpu.walk.plan import plan_walks
+
+    cfg = ScaffoldConfig(mc_walks_per_end=mc_walks_per_end, max_steps=32)
+    t0 = time.perf_counter()
+    sim = simulate(SimConfig(
+        genome_len=400_000, repeat_len=5_000, n_repeat_copies=6,
+        read_len_mean=3_000, read_len_sd=500, coverage=20.0,
+        error_rate=0.02, seed=12))
+    with tempfile.TemporaryDirectory() as d:
+        write_dataset(sim, d)
+        contigs, reads, paf = load_inputs(
+            os.path.join(d, "contigs.fa"), os.path.join(d, "reads.fa"),
+            os.path.join(d, "read2contig.paf"), os.path.join(d, "read2read.paf"))
+    edges, graph = build_graph(contigs, reads, paf, cfg)
+    plan = plan_walks(graph, cfg)
+    log(f"problem built in {time.perf_counter()-t0:.1f}s: {graph.stats}, "
+        f"{plan.n_active} walks")
+    return cfg, edges, graph, plan
+
+
+def bench_walks(cfg, graph, plan, repeats: int):
+    import jax
+
+    from telomeri_tpu.walk.engine import graph_to_device, plan_to_device, run_walks
+
+    gd = graph_to_device(graph)
+    pd = plan_to_device(plan)
+    t0 = time.perf_counter()
+    res = run_walks(gd, pd, cfg.mc_seed, n_anchors=graph.n_anchors,
+                    max_steps=cfg.max_steps)
+    jax.block_until_ready(res)
+    log(f"walk compile+first run: {time.perf_counter()-t0:.1f}s; "
+        f"{int(np.asarray(res.success).sum())}/{plan.n_active} successful")
+
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        res = run_walks(gd, pd, cfg.mc_seed, n_anchors=graph.n_anchors,
+                        max_steps=cfg.max_steps)
+        jax.block_until_ready(res)
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
+    total_steps = int(np.asarray(res.steps).sum())
+    walks_per_s = plan.n_active / dt
+    log(f"walk times: {['%.4f' % t for t in times]}; median {dt*1e3:.2f} ms "
+        f"-> {walks_per_s:,.0f} walks/s, {total_steps/dt:,.0f} walk-steps/s")
+    return walks_per_s
+
+
+def bench_oracle(cfg, graph, plan, budget_s: float = 10.0, max_walks: int = 300):
+    """Single-core scalar baseline on the SAME graph and walk plan."""
+    from telomeri_tpu.walk.oracle import fast_choice_fn, walk_oracle
+
+    idx = np.flatnonzero(plan.active)
+    sel = idx[np.linspace(0, len(idx) - 1, min(max_walks, len(idx))).astype(int)]
+    choice = fast_choice_fn(cfg.mc_seed)
+    t0 = time.perf_counter()
+    n = 0
+    for i in sel:
+        walk_oracle(graph, int(plan.start[i]), int(plan.first_edge[i]),
+                    int(plan.mode[i]), int(plan.uid[i]), cfg.max_steps, choice)
+        n += 1
+        if time.perf_counter() - t0 > budget_s:
+            break
+    dt = time.perf_counter() - t0
+    walks_per_s = n / dt
+    log(f"oracle baseline: {n} walks in {dt:.2f}s -> {walks_per_s:,.1f} walks/s "
+        f"(single core)")
+    return walks_per_s
+
+
+def bench_scoring(edges, repeats: int):
+    import jax
+
+    from telomeri_tpu.kernels.scoring import score_overlaps
+
+    backend = "pallas" if jax.default_backend() not in ("cpu",) else "jnp"
+    args = tuple(jax.device_put(np.asarray(a)) for a in edges.geom_args())
+    out = score_overlaps(*args, backend=backend)
+    jax.block_until_ready(out)
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        out = score_overlaps(*args, backend=backend)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
+    ops = len(edges.nm) / dt
+    log(f"scoring ({backend}): {len(edges.nm):,} overlaps in {dt*1e3:.3f} ms "
+        f"-> {ops/1e9:.2f} G overlaps/s")
+    return ops
+
+
+def main():
+    os.makedirs("/root/repo/.jax_cache", exist_ok=True)
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    log(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
+
+    mc = int(os.environ.get("BENCH_MC_WALKS", "4096"))
+    repeats = int(os.environ.get("BENCH_REPEATS", "5"))
+
+    cfg, edges, graph, plan = build_problem(mc)
+    walks_per_s = bench_walks(cfg, graph, plan, repeats)
+    oracle_per_s = bench_oracle(cfg, graph, plan)
+    try:
+        bench_scoring(edges, repeats)
+    except Exception as e:  # scoring is a secondary metric; never fail the bench
+        log(f"scoring bench failed: {e}")
+
+    print(json.dumps({
+        "metric": "mc_walks_per_s_per_chip",
+        "value": round(walks_per_s, 1),
+        "unit": "walks/s",
+        "vs_baseline": round(walks_per_s / oracle_per_s, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,102 @@
+"""Device mesh + data-parallel walk sharding (SURVEY.md §3 distributed components).
+
+The reference is a single-process tool; the distributed design is introduced here, with
+the decomposition fixed by the north star (SURVEY.md §1): the overlap graph is
+REPLICATED on every chip (read-only during walks), walk batches are SHARDED
+data-parallel over a 1-D "walks" mesh axis, candidate-path summaries are merged by
+all-gather, and the consensus segment reductions then run replicated — identical on
+every device/host, so the scaffold decision is host-count-invariant (SURVEY.md §5
+item 6, §7 "cross-host determinism": walk uids, not device ids, seed the RNG streams
+and break ties).
+
+Mechanism: jax.sharding.NamedSharding annotations + jit — XLA GSPMD inserts the actual
+collectives (all-gather on the replication constraint) over ICI/DCN; no hand-written
+NCCL-style transport (SURVEY.md §6 "Comm backend"). Multi-host entry:
+`jax.distributed.initialize()` before building the mesh (init_distributed()).
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from telomeri_tpu.config import ScaffoldConfig
+from telomeri_tpu.consensus.grouping import ConsensusResult, group_and_select, summarize
+from telomeri_tpu.graph.tensorize import GraphTensors
+from telomeri_tpu.walk.engine import (
+    GraphDev,
+    PlanDev,
+    WalkResult,
+    graph_to_device,
+    plan_to_device,
+    run_walks,
+)
+from telomeri_tpu.walk.plan import WalkPlan
+
+WALK_AXIS = "walks"
+
+
+def init_distributed(**kwargs) -> None:
+    """Multi-host process init (no-op when single-process)."""
+    if jax.process_count() == 1 and not kwargs:
+        return
+    jax.distributed.initialize(**kwargs)
+
+
+def make_walk_mesh(n_devices: int | None = None, devices=None) -> Mesh:
+    """1-D data-parallel mesh over the walk batch dimension."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.array(devices), (WALK_AXIS,))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def walk_sharded(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P(WALK_AXIS))
+
+
+def shard_graph(g: GraphTensors, mesh: Mesh) -> GraphDev:
+    return graph_to_device(g, replicated(mesh))
+
+
+def shard_plan(p: WalkPlan, mesh: Mesh) -> PlanDev:
+    if len(p) % mesh.size != 0:
+        raise ValueError(f"walk batch {len(p)} not divisible by mesh size {mesh.size}")
+    return plan_to_device(p, walk_sharded(mesh))
+
+
+def run_walks_distributed(
+    g: GraphTensors | GraphDev,
+    plan: WalkPlan | PlanDev,
+    cfg: ScaffoldConfig,
+    mesh: Mesh,
+    n_anchors: int | None = None,
+) -> tuple[WalkResult, ConsensusResult]:
+    """Sharded walks + gathered consensus: the distributed score+walk+merge step.
+
+    Returns (walk records [still walk-sharded], consensus [replicated]).
+    """
+    if isinstance(g, GraphTensors):
+        n_anchors = g.n_anchors
+        g = shard_graph(g, mesh)
+    if n_anchors is None:
+        raise ValueError("n_anchors required when passing a GraphDev")
+    if isinstance(plan, WalkPlan):
+        plan = shard_plan(plan, mesh)
+
+    res = run_walks(g, plan, cfg.mc_seed, n_anchors=n_anchors, max_steps=cfg.max_steps)
+
+    # all-gather the per-walk summaries (the "candidate path merge" collective), then
+    # run the segment-reduce consensus replicated on every device.
+    summary = summarize(res, plan.uid)
+    summary = jax.device_put(summary, replicated(mesh))
+    cons = group_and_select(
+        summary, n_anchors=n_anchors, group_window=cfg.group_window,
+        min_support=cfg.min_group_support)
+    return res, cons

@@ -60,9 +60,24 @@ class EdgeSoA:
     ue: np.ndarray    # int32 aligned-block end in src oriented coords
     ve: np.ndarray    # int32 aligned-block end in dst oriented coords
     row: np.ndarray   # int32 originating PAF row index (diagnostics/round-trip)
+    # raw geometry (int32), kept so devices can re-score edges with kernels/scoring.py:
+    # es == OS + el/2 - (oh1+oh2)/2 with OS = (nm/bl) * (ol1+ol2)/2
+    nm: np.ndarray = None
+    bl: np.ndarray = None
+    ol1: np.ndarray = None
+    ol2: np.ndarray = None
+    oh1: np.ndarray = None
+    oh2: np.ndarray = None
+    el: np.ndarray = None
 
     def __len__(self) -> int:
         return len(self.src)
+
+    def geom_args(self):
+        """Arguments for kernels.scoring.score_overlaps* (el passed as both EL1/EL2;
+        the edge's own direction uses the es2 output)."""
+        return (self.nm, self.bl, self.ol1, self.ol2, self.oh1, self.oh2,
+                self.el, self.el)
 
 
 @dataclass
@@ -202,10 +217,19 @@ def build_edges(
     ue[1::2], ve[1::2] = r_len - r_s, l_len - l_s
     row[0::2] = row[1::2] = idx
 
+    def interleave(fwd, mir):
+        out = np.empty(2 * n, dtype=np.int32)
+        out[0::2], out[1::2] = fwd, mir
+        return out
+
     edges = EdgeSoA(
         src=src.astype(np.int32), dst=dst.astype(np.int32),
         os_=osb.astype(np.float32), es=es.astype(np.float32),
         adv=adv.astype(np.int32), ue=ue.astype(np.int32), ve=ve.astype(np.int32),
         row=row.astype(np.int32),
+        nm=interleave(nm, nm), bl=interleave(bl, bl),
+        ol1=interleave(ol1, ol1), ol2=interleave(ol2, ol2),
+        oh1=interleave(oh1, oh1), oh2=interleave(oh2, oh2),
+        el=interleave(el2, el1),
     )
     return edges, st

@@ -1,0 +1,172 @@
+// Fast PAF parser (C API consumed via ctypes from telomeri_tpu/native/paf_native.py).
+//
+// Reference parity: the C++ reference tool parses PAF natively (SURVEY.md §3 row 3;
+// the reference mount was empty — SURVEY.md §0); this is the TPU-framework's native
+// ingest path. Semantics are defined by the pure-Python parser
+// telomeri_tpu/io/paf.py::_parse_columns_py and enforced by tests/test_native.py:
+//   - tab-separated, >= 11 columns, empty lines skipped, trailing \r stripped
+//   - columns used: qname qlen qstart qend strand tname tlen tstart tend nmatch blocklen
+//   - strand must be '+' or '-' (encoded 0/1)
+//   - first error wins and is reported as "<path>:<line>: <message>"
+//
+// Build: python -m telomeri_tpu.native.build  (g++ -O3 -shared -fPIC)
+
+#include <cerrno>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <string>
+#include <vector>
+
+namespace {
+
+struct PafFile {
+    std::vector<int64_t> ints;      // 9 per row: qlen qs qe strand tlen ts te nm bl
+    std::string qnames;             // concatenated name bytes
+    std::string tnames;
+    std::vector<int64_t> qoff;      // nrows+1 offsets into qnames
+    std::vector<int64_t> toff;
+    std::string error;              // empty = ok
+    int64_t nrows = 0;
+};
+
+// Parse a non-negative integer; returns false on garbage.
+bool parse_i64(const char* b, const char* e, int64_t* out) {
+    if (b == e) return false;
+    int64_t v = 0;
+    bool neg = false;
+    if (*b == '-') { neg = true; ++b; if (b == e) return false; }
+    for (; b != e; ++b) {
+        if (*b < '0' || *b > '9') return false;
+        v = v * 10 + (*b - '0');
+    }
+    *out = neg ? -v : v;
+    return true;
+}
+
+void parse_buffer(PafFile* pf, const char* data, size_t size, const char* path) {
+    const char* p = data;
+    const char* end = data + size;
+    int64_t lineno = 0;
+    pf->qoff.push_back(0);
+    pf->toff.push_back(0);
+    char msg[256];
+
+    while (p < end) {
+        ++lineno;
+        const char* nl = static_cast<const char*>(memchr(p, '\n', end - p));
+        const char* le = nl ? nl : end;
+        if (le > p && le[-1] == '\r') --le;
+        if (le == p) { p = nl ? nl + 1 : end; continue; }  // empty line
+
+        // split into up to 11 columns (rest of the line ignored, like Python)
+        const char* cb[12];
+        const char* ce[12];
+        int ncol = 0;
+        const char* q = p;
+        while (ncol < 11) {
+            const char* tab = static_cast<const char*>(memchr(q, '\t', le - q));
+            cb[ncol] = q;
+            ce[ncol] = tab && tab < le ? tab : le;
+            ++ncol;
+            if (!tab || tab >= le) break;
+            q = tab + 1;
+        }
+        if (ncol < 11) {
+            snprintf(msg, sizeof msg, "%s:%lld: PAF row has %d < 11 columns",
+                     path, static_cast<long long>(lineno), ncol);
+            pf->error = msg;
+            return;
+        }
+        int64_t strand;
+        if (ce[4] - cb[4] == 1 && *cb[4] == '+') strand = 0;
+        else if (ce[4] - cb[4] == 1 && *cb[4] == '-') strand = 1;
+        else {
+            snprintf(msg, sizeof msg, "%s:%lld: bad strand '%.8s'",
+                     path, static_cast<long long>(lineno), cb[4]);
+            pf->error = msg;
+            return;
+        }
+        static const int icols[8] = {1, 2, 3, 6, 7, 8, 9, 10};
+        int64_t vals[8];
+        for (int k = 0; k < 8; ++k) {
+            if (!parse_i64(cb[icols[k]], ce[icols[k]], &vals[k])) {
+                snprintf(msg, sizeof msg, "%s:%lld: bad integer in column %d",
+                         path, static_cast<long long>(lineno), icols[k] + 1);
+                pf->error = msg;
+                return;
+            }
+        }
+        pf->ints.push_back(vals[0]);  // qlen
+        pf->ints.push_back(vals[1]);  // qstart
+        pf->ints.push_back(vals[2]);  // qend
+        pf->ints.push_back(strand);
+        pf->ints.push_back(vals[3]);  // tlen
+        pf->ints.push_back(vals[4]);  // tstart
+        pf->ints.push_back(vals[5]);  // tend
+        pf->ints.push_back(vals[6]);  // nmatch
+        pf->ints.push_back(vals[7]);  // blocklen
+        pf->qnames.append(cb[0], ce[0] - cb[0]);
+        pf->tnames.append(cb[5], ce[5] - cb[5]);
+        pf->qoff.push_back(static_cast<int64_t>(pf->qnames.size()));
+        pf->toff.push_back(static_cast<int64_t>(pf->tnames.size()));
+        ++pf->nrows;
+        p = nl ? nl + 1 : end;
+    }
+}
+
+}  // namespace
+
+extern "C" {
+
+void* tel_parse_paf(const char* path) {
+    FILE* f = fopen(path, "rb");
+    if (!f) return nullptr;
+    fseek(f, 0, SEEK_END);
+    long size = ftell(f);
+    fseek(f, 0, SEEK_SET);
+    std::string buf;
+    buf.resize(size < 0 ? 0 : static_cast<size_t>(size));
+    if (size > 0 && fread(&buf[0], 1, buf.size(), f) != buf.size()) {
+        fclose(f);
+        return nullptr;
+    }
+    fclose(f);
+
+    PafFile* pf = new PafFile();
+    parse_buffer(pf, buf.data(), buf.size(), path);
+    if (!pf->error.empty()) {
+        // keep handle so the caller can read the error
+        pf->nrows = 0;
+    }
+    return pf;
+}
+
+int64_t tel_paf_nrows(void* h) { return static_cast<PafFile*>(h)->nrows; }
+
+const char* tel_paf_error(void* h) {
+    PafFile* pf = static_cast<PafFile*>(h);
+    return pf->error.empty() ? nullptr : pf->error.c_str();
+}
+
+void tel_paf_fill(void* h, int64_t* ints, int64_t* qoff, int64_t* toff) {
+    PafFile* pf = static_cast<PafFile*>(h);
+    memcpy(ints, pf->ints.data(), pf->ints.size() * sizeof(int64_t));
+    memcpy(qoff, pf->qoff.data(), pf->qoff.size() * sizeof(int64_t));
+    memcpy(toff, pf->toff.data(), pf->toff.size() * sizeof(int64_t));
+}
+
+int64_t tel_paf_names_bytes(void* h, int which) {
+    PafFile* pf = static_cast<PafFile*>(h);
+    return static_cast<int64_t>((which == 0 ? pf->qnames : pf->tnames).size());
+}
+
+void tel_paf_copy_names(void* h, int which, char* out) {
+    PafFile* pf = static_cast<PafFile*>(h);
+    const std::string& s = which == 0 ? pf->qnames : pf->tnames;
+    memcpy(out, s.data(), s.size());
+}
+
+void tel_paf_free(void* h) { delete static_cast<PafFile*>(h); }
+
+}  // extern "C"

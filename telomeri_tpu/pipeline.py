@@ -79,28 +79,39 @@ def run_pipeline(
     out_path: str | None,
     cfg: ScaffoldConfig = ScaffoldConfig(),
     metrics: Metrics | None = None,
+    mesh=None,
 ) -> PipelineResult:
+    """Full pipeline. Pass a jax.sharding.Mesh to shard walk batches data-parallel
+    (SURVEY.md §4.2); omit it for the single-device path."""
     metrics = metrics or Metrics()
     contigs, reads, paf = load_inputs(
         contigs_path, reads_path, paf_rc_path, paf_rr_path, metrics)
     edges, graph = build_graph(contigs, reads, paf, cfg, metrics)
 
     with metrics.stage("plan_walks"):
-        plan = plan_walks(graph, cfg)
+        plan = plan_walks(graph, cfg, n_shards=mesh.size if mesh is not None else 1)
     metrics.set("n_walks", plan.n_active)
 
-    with metrics.stage("run_walks"):
-        walks = run_walks_host(graph, plan, cfg)
+    if mesh is not None:
+        from telomeri_tpu.dist.mesh import run_walks_distributed
+
+        with metrics.stage("run_walks"):
+            walks, cons = run_walks_distributed(graph, plan, cfg, mesh)
+            walks = walks.to_numpy()
+        with metrics.stage("consensus"):
+            bridges = compress(cons)
+    else:
+        with metrics.stage("run_walks"):
+            walks = run_walks_host(graph, plan, cfg)
+        with metrics.stage("consensus"):
+            summary = summarize(walks, plan.uid)
+            cons = group_and_select(
+                summary, n_anchors=graph.n_anchors,
+                group_window=cfg.group_window, min_support=cfg.min_group_support)
+            bridges = compress(cons)
     n_succ = int(np.asarray(walks.success).sum())
     metrics.set("n_walks_successful", n_succ)
     log.info("walks: %d planned, %d successful", plan.n_active, n_succ)
-
-    with metrics.stage("consensus"):
-        summary = summarize(walks, plan.uid)
-        cons = group_and_select(
-            summary, n_anchors=graph.n_anchors,
-            group_window=cfg.group_window, min_support=cfg.min_group_support)
-        bridges = compress(cons)
     metrics.set("n_bridges_candidate", len(bridges))
 
     with metrics.stage("resolve_conflicts"):

@@ -118,3 +118,17 @@ def test_mirror_stitch_coords_reverse():
     assert edges.ue[1] == 1970 and edges.ve[1] == 300
     # adv must equal EL1 = 700-30
     assert edges.adv[1] == 670
+
+
+def test_geom_args_rescore_matches_stored_es():
+    # device re-scoring from raw geometry must reproduce the stored scores bitwise
+    from telomeri_tpu.kernels.scoring import score_arrays_np
+
+    paf = mk_paf([
+        (0, 1000, 800, 1000, 0, 1, 1000, 0, 200, 180, 200),
+        (0, 1000, 700, 950, 1, 1, 2000, 1720, 1970, 200, 250),
+    ])
+    edges, _ = build_edges(paf, CFG, n_seqs=2)
+    _, os_, _, es2 = score_arrays_np(*edges.geom_args())
+    np.testing.assert_array_equal(es2, edges.es)
+    np.testing.assert_array_equal(os_, edges.os_)

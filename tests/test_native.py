@@ -1,0 +1,56 @@
+"""Native C++ PAF parser ≡ pure-Python parser (SURVEY.md §3 row 3 native path)."""
+
+import numpy as np
+import pytest
+
+from telomeri_tpu.io.paf import _parse_columns_py
+from telomeri_tpu.native import paf_native
+
+pytestmark = pytest.mark.skipif(
+    not paf_native.available(), reason="native library not built")
+
+
+def test_native_matches_python(tmp_path):
+    p = tmp_path / "o.paf"
+    p.write_bytes(
+        b"r1\t100\t5\t95\t+\tc1\t500\t400\t490\t85\t90\t255\textra:i:1\n"
+        b"\n"
+        b"r2\t80\t0\t60\t-\tc1\t500\t0\t60\t55\t60\t255\r\n"
+        b"weird name\t10\t0\t5\t+\tt\t10\t0\t5\t5\t5\t0\n"
+    )
+    qn, tn, ints = paf_native.parse_paf_columns(str(p))
+    qn2, tn2, ints2 = _parse_columns_py(str(p))
+    assert list(qn) == list(qn2)
+    assert list(tn) == list(tn2)
+    np.testing.assert_array_equal(ints, ints2)
+
+
+def test_native_matches_python_on_simulated(toy_dataset_dir):
+    import os
+
+    p = os.path.join(toy_dataset_dir, "read2read.paf")
+    qn, tn, ints = paf_native.parse_paf_columns(p)
+    qn2, tn2, ints2 = _parse_columns_py(p)
+    assert list(qn) == list(qn2) and list(tn) == list(tn2)
+    np.testing.assert_array_equal(ints, ints2)
+
+
+def test_native_error_short_row(tmp_path):
+    p = tmp_path / "bad.paf"
+    p.write_text("r1\t100\t5\n")
+    with pytest.raises(ValueError, match="11 columns"):
+        paf_native.parse_paf_columns(str(p))
+
+
+def test_native_error_bad_strand(tmp_path):
+    p = tmp_path / "bad.paf"
+    p.write_text("r1\t100\t5\t95\t?\tc1\t500\t400\t490\t85\t90\t255\n")
+    with pytest.raises(ValueError, match="strand"):
+        paf_native.parse_paf_columns(str(p))
+
+
+def test_native_empty_file(tmp_path):
+    p = tmp_path / "e.paf"
+    p.write_bytes(b"")
+    qn, tn, ints = paf_native.parse_paf_columns(str(p))
+    assert len(qn) == 0 and ints.shape == (0, 9)
