@@ -54,28 +54,29 @@ def build_problem(mc_walks_per_end: int):
 def bench_walks(cfg, graph, plan, repeats: int):
     import jax
 
-    from telomeri_tpu.walk.engine import graph_to_device, plan_to_device, run_walks
+    from telomeri_tpu.walk.engine import graph_to_device, run_walks_sectioned
 
     gd = graph_to_device(graph)
-    pd = plan_to_device(plan)
+    run = lambda seed: run_walks_sectioned(
+        gd, plan, seed, n_anchors=graph.n_anchors, max_steps=cfg.max_steps)
     t0 = time.perf_counter()
-    res = run_walks(gd, pd, cfg.mc_seed, n_anchors=graph.n_anchors,
-                    max_steps=cfg.max_steps)
-    jax.block_until_ready(res)
+    res = run(cfg.mc_seed)
+    n_succ = int(np.asarray(res.success).sum())   # forces full materialization
     log(f"walk compile+first run: {time.perf_counter()-t0:.1f}s; "
-        f"{int(np.asarray(res.success).sum())}/{plan.n_active} successful")
+        f"{n_succ}/{plan.n_active} successful")
 
-    times = []
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        res = run_walks(gd, pd, cfg.mc_seed, n_anchors=graph.n_anchors,
-                        max_steps=cfg.max_steps)
-        jax.block_until_ready(res)
-        times.append(time.perf_counter() - t0)
-    dt = float(np.median(times))
-    total_steps = int(np.asarray(res.steps).sum())
+    # NOTE: block_until_ready does not reliably block under the axon tunnel; time a
+    # burst of launches bounded by tiny scalar fetches instead (amortized device time).
+    import jax.numpy as jnp
+
+    burst = max(repeats, 20)
+    t0 = time.perf_counter()
+    rs = [run(cfg.mc_seed + 1 + i) for i in range(burst)]
+    _ = int(np.asarray(jnp.sum(rs[-1].steps))) + int(np.asarray(jnp.sum(rs[0].steps)))
+    dt = (time.perf_counter() - t0) / burst
+    total_steps = int(np.asarray(jnp.sum(rs[-1].steps)))
     walks_per_s = plan.n_active / dt
-    log(f"walk times: {['%.4f' % t for t in times]}; median {dt*1e3:.2f} ms "
+    log(f"walk amortized over {burst}: {dt*1e3:.2f} ms/call "
         f"-> {walks_per_s:,.0f} walks/s, {total_steps/dt:,.0f} walk-steps/s")
     return walks_per_s
 
@@ -108,18 +109,24 @@ def bench_scoring(edges, repeats: int):
     from telomeri_tpu.kernels.scoring import score_overlaps
 
     backend = "pallas" if jax.default_backend() not in ("cpu",) else "jnp"
-    args = tuple(jax.device_put(np.asarray(a)) for a in edges.geom_args())
+    # tile the real edge set up to ~8M rows so the measurement is bandwidth-bound,
+    # not dispatch-latency-bound
+    reps = max(1, 8_000_000 // max(len(edges.nm), 1))
+    args = tuple(jax.device_put(np.tile(np.asarray(a), reps))
+                 for a in edges.geom_args())
+    n = args[0].shape[0]
+    import jax.numpy as jnp
+
+    fetch = lambda o: float(np.asarray(jnp.sum(o[1])))   # 4-byte scalar fetch
     out = score_overlaps(*args, backend=backend)
-    jax.block_until_ready(out)
-    times = []
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        out = score_overlaps(*args, backend=backend)
-        jax.block_until_ready(out)
-        times.append(time.perf_counter() - t0)
-    dt = float(np.median(times))
-    ops = len(edges.nm) / dt
-    log(f"scoring ({backend}): {len(edges.nm):,} overlaps in {dt*1e3:.3f} ms "
+    _ = fetch(out)
+    burst = max(repeats, 20)
+    t0 = time.perf_counter()
+    outs = [score_overlaps(*args, backend=backend) for _ in range(burst)]
+    _ = fetch(outs[-1]) + fetch(outs[0])
+    dt = (time.perf_counter() - t0) / burst
+    ops = n / dt
+    log(f"scoring ({backend}): {n:,} overlaps in {dt*1e3:.3f} ms "
         f"-> {ops/1e9:.2f} G overlaps/s")
     return ops
 

@@ -47,10 +47,16 @@ def build_parser() -> argparse.ArgumentParser:
     s = sub.add_parser("scaffold", help="bridge contigs across repeats using long reads")
     s.add_argument("--contigs", required=True, help="draft contigs FASTA")
     s.add_argument("--reads", required=True, help="long reads FASTA/FASTQ")
-    s.add_argument("--paf-read-contig", required=True, help="minimap2 PAF: reads vs contigs")
-    s.add_argument("--paf-read-read", required=True, help="minimap2 PAF: reads vs reads")
+    s.add_argument("--paf-read-contig",
+                   help="minimap2 PAF: reads vs contigs (omit when resuming --graph)")
+    s.add_argument("--paf-read-read",
+                   help="minimap2 PAF: reads vs reads (omit when resuming --graph)")
     s.add_argument("--out", required=True, help="output scaffolds FASTA")
     s.add_argument("--config", help="ScaffoldConfig JSON (flags override it)")
+    s.add_argument("--graph", help="resume: load tensorized graph artifact (.npz)")
+    s.add_argument("--save-graph", help="save tensorized graph artifact (.npz)")
+    s.add_argument("--walks", help="resume: load walk-table artifact (.npz)")
+    s.add_argument("--save-walks", help="save walk-table artifact (.npz)")
     _add_config_flags(s)
 
     g = sub.add_parser("simulate", help="generate a synthetic test dataset")
@@ -78,10 +84,16 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd == "scaffold":
         from telomeri_tpu.pipeline import run_pipeline
+        if not args.graph and not (args.paf_read_contig and args.paf_read_read):
+            build_parser().error(
+                "--paf-read-contig and --paf-read-read are required unless "
+                "resuming from --graph")
         cfg = _config_from_args(args)
         metrics = Metrics()
         res = run_pipeline(args.contigs, args.reads, args.paf_read_contig,
-                           args.paf_read_read, args.out, cfg, metrics)
+                           args.paf_read_read, args.out, cfg, metrics,
+                           graph_artifact=args.graph, save_graph_path=args.save_graph,
+                           walks_artifact=args.walks, save_walks_path=args.save_walks)
         with open(args.out + ".config.json", "w") as f:
             f.write(cfg.to_json())
         metrics.dump(args.out + ".metrics.json")

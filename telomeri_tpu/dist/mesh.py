@@ -30,7 +30,7 @@ from telomeri_tpu.walk.engine import (
     WalkResult,
     graph_to_device,
     plan_to_device,
-    run_walks,
+    run_walks_sectioned,
 )
 from telomeri_tpu.walk.plan import WalkPlan
 
@@ -87,14 +87,19 @@ def run_walks_distributed(
         g = shard_graph(g, mesh)
     if n_anchors is None:
         raise ValueError("n_anchors required when passing a GraphDev")
-    if isinstance(plan, WalkPlan):
-        plan = shard_plan(plan, mesh)
+    if not isinstance(plan, WalkPlan):
+        raise TypeError("run_walks_distributed expects a host WalkPlan")
+    if len(plan) % mesh.size != 0:
+        raise ValueError(f"walk batch {len(plan)} not divisible by mesh size {mesh.size}")
 
-    res = run_walks(g, plan, cfg.mc_seed, n_anchors=n_anchors, max_steps=cfg.max_steps)
+    res = run_walks_sectioned(
+        g, plan, cfg.mc_seed, n_anchors=n_anchors, max_steps=cfg.max_steps,
+        sharding=walk_sharded(mesh))
 
     # all-gather the per-walk summaries (the "candidate path merge" collective), then
     # run the segment-reduce consensus replicated on every device.
-    summary = summarize(res, plan.uid)
+    uid_dev = jax.device_put(plan.uid, walk_sharded(mesh))
+    summary = summarize(res, uid_dev)
     summary = jax.device_put(summary, replicated(mesh))
     cons = group_and_select(
         summary, n_anchors=n_anchors, group_window=cfg.group_window,

@@ -48,6 +48,11 @@ class GraphTensors:
     n_anchors: int
     n_truncated_edges: int = 0
     stats: dict = field(default_factory=dict)
+    # flat per-edge attribute arrays (length n_edges), used by the walk engine to
+    # reconstruct path scores/advances post-scan from chosen edge ids (one (W, S)
+    # gather instead of per-step (W, K) gathers — see walk/engine.py)
+    edge_es: np.ndarray = None
+    edge_adv: np.ndarray = None
 
     @property
     def n_nodes(self) -> int:
@@ -102,6 +107,8 @@ def tensorize(
         seq_len=seq_len.astype(np.int32),
         n_anchors=n_anchors,
         n_truncated_edges=n_trunc,
+        edge_es=np.asarray(edges.es, np.float32),
+        edge_adv=np.asarray(edges.adv, np.int32),
         stats={
             "n_nodes": n_nodes,
             "n_edges": len(edges),

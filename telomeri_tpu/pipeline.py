@@ -80,35 +80,67 @@ def run_pipeline(
     cfg: ScaffoldConfig = ScaffoldConfig(),
     metrics: Metrics | None = None,
     mesh=None,
+    graph_artifact: str | None = None,
+    save_graph_path: str | None = None,
+    walks_artifact: str | None = None,
+    save_walks_path: str | None = None,
 ) -> PipelineResult:
     """Full pipeline. Pass a jax.sharding.Mesh to shard walk batches data-parallel
-    (SURVEY.md §4.2); omit it for the single-device path."""
+    (SURVEY.md §4.2); omit it for the single-device path. graph/walks artifacts
+    (io/artifacts.py) resume the pipeline from a stage boundary."""
+    from telomeri_tpu.io.artifacts import load_graph, load_walks, save_graph, save_walks
+
     metrics = metrics or Metrics()
-    contigs, reads, paf = load_inputs(
-        contigs_path, reads_path, paf_rc_path, paf_rr_path, metrics)
-    edges, graph = build_graph(contigs, reads, paf, cfg, metrics)
-
-    with metrics.stage("plan_walks"):
-        plan = plan_walks(graph, cfg, n_shards=mesh.size if mesh is not None else 1)
-    metrics.set("n_walks", plan.n_active)
-
-    if mesh is not None:
-        from telomeri_tpu.dist.mesh import run_walks_distributed
-
-        with metrics.stage("run_walks"):
-            walks, cons = run_walks_distributed(graph, plan, cfg, mesh)
-            walks = walks.to_numpy()
-        with metrics.stage("consensus"):
-            bridges = compress(cons)
+    if graph_artifact:
+        with metrics.stage("load_sequences"):
+            contigs = read_fasta(contigs_path)
+            reads = read_fasta(reads_path)
+        with metrics.stage("load_graph_artifact"):
+            edges, graph = load_graph(graph_artifact, cfg)
+        metrics.set("graph", graph.stats)
     else:
-        with metrics.stage("run_walks"):
-            walks = run_walks_host(graph, plan, cfg)
+        contigs, reads, paf = load_inputs(
+            contigs_path, reads_path, paf_rc_path, paf_rr_path, metrics)
+        edges, graph = build_graph(contigs, reads, paf, cfg, metrics)
+        if save_graph_path:
+            with metrics.stage("save_graph_artifact"):
+                save_graph(save_graph_path, edges, graph, cfg)
+
+    if walks_artifact:
+        with metrics.stage("load_walks_artifact"):
+            plan, walks = load_walks(walks_artifact, cfg)
+        metrics.set("n_walks", plan.n_active)
         with metrics.stage("consensus"):
             summary = summarize(walks, plan.uid)
             cons = group_and_select(
                 summary, n_anchors=graph.n_anchors,
                 group_window=cfg.group_window, min_support=cfg.min_group_support)
             bridges = compress(cons)
+    else:
+        with metrics.stage("plan_walks"):
+            plan = plan_walks(graph, cfg, n_shards=mesh.size if mesh is not None else 1)
+        metrics.set("n_walks", plan.n_active)
+
+        if mesh is not None:
+            from telomeri_tpu.dist.mesh import run_walks_distributed
+
+            with metrics.stage("run_walks"):
+                walks, cons = run_walks_distributed(graph, plan, cfg, mesh)
+                walks = walks.to_numpy()
+            with metrics.stage("consensus"):
+                bridges = compress(cons)
+        else:
+            with metrics.stage("run_walks"):
+                walks = run_walks_host(graph, plan, cfg)
+            with metrics.stage("consensus"):
+                summary = summarize(walks, plan.uid)
+                cons = group_and_select(
+                    summary, n_anchors=graph.n_anchors,
+                    group_window=cfg.group_window, min_support=cfg.min_group_support)
+                bridges = compress(cons)
+        if save_walks_path:
+            with metrics.stage("save_walks_artifact"):
+                save_walks(save_walks_path, plan, walks, cfg)
     n_succ = int(np.asarray(walks.success).sum())
     metrics.set("n_walks_successful", n_succ)
     log.info("walks: %d planned, %d successful", plan.n_active, n_succ)
@@ -123,8 +155,10 @@ def run_pipeline(
         wn = np.asarray(walks.nodes)
         we = np.asarray(walks.eids)
         ws = np.asarray(walks.steps)
+        lut = plan.uid_to_row()
         paths = {
-            b.rep_uid: extract_path(wn[b.rep_uid], we[b.rep_uid], int(ws[b.rep_uid]))
+            b.rep_uid: extract_path(
+                wn[lut[b.rep_uid]], we[lut[b.rep_uid]], int(ws[lut[b.rep_uid]]))
             for b in accepted
         }
         stitcher = Stitcher(contigs, reads, edges)

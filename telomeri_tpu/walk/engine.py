@@ -3,8 +3,17 @@
 Reference parity: the C++ reference's per-anchor sequential walk loop (PathManager,
 SURVEY.md §3 rows 7-10; §4.1 "HOT LOOP"; mount empty, SURVEY.md §0). TPU-native design
 (SURVEY.md §1 north star): thousands of walks advance in lockstep through a
-`lax.scan` of cfg.max_steps fixed steps; each step is one dense (W, K) gather from the
+`lax.scan` of cfg.max_steps fixed steps; each step is a dense (W, K) gather from the
 padded CSR plus VPU masking/argmax/sampling. No data-dependent control flow.
+
+Performance structure (profiled on TPU v5e — see BASELINE.md):
+  - The scan body touches ONLY the tables its decisions need: nbr always, es for
+    Monte-Carlo and OS for greedy-OS walks. Greedy-ES needs NO score gather at all:
+    CSR rows are pre-sorted by (ES desc, dst asc), so greedy-ES = first valid slot.
+  - The scan emits just the chosen CSR slot per step. Edge ids, advances (path_len)
+    and ES sums (score_sum) are reconstructed AFTER the scan with one flat (W, S)
+    gather from per-edge arrays — removing three (W, K) gathers and four
+    take_along_axis reductions per step (a ~4x end-to-end win).
 
 Semantics (deterministic, documented — SURVEY.md §7 "bit-identical" hard part):
   - A walk starts at an oriented anchor node and repeatedly selects an out-edge.
@@ -15,16 +24,18 @@ Semantics (deterministic, documented — SURVEY.md §7 "bit-identical" hard part
     lowest CSR slot, and CSR rows are pre-sorted by (ES desc, dst asc), which fixes the
     tie-break globally.
   - mode 2 (Monte-Carlo): pick candidate j with probability ES_j / sum(ES), restricted
-    to candidates with ES > 0; a walk with no positive-ES candidate dies. The draw uses
-    the walk's OWN stream: fold_in(fold_in(key(seed), uid), step) — invariant to batch
-    size, padding, sharding, and host count (SURVEY.md §5 item 3).
+    to candidates with ES > 0, sampled as categorical(log ES) (Gumbel argmax); a walk
+    with no positive-ES candidate dies. The draw uses the walk's OWN stream:
+    fold_in(fold_in(key(seed), uid), step) — invariant to batch size, padding,
+    sharding, and host count (SURVEY.md §5 item 3).
   - Step 0 honours plan.first_edge (deterministic first-edge enumeration); an invalid
     forced slot kills the walk.
   - A walk succeeds when it steps onto another anchor node (id < 2 * n_anchors); it
     dies on candidate exhaustion; it is truncated (failure) at max_steps.
 
-Throughput note: the per-step cost is ~6 gathered (W, K) arrays -> HBM-bandwidth bound,
-which is what the walks/s/chip metric measures (BASELINE.md).
+score_sum is accumulated by jnp.sum over the step axis post-scan; its float32
+rounding therefore depends on the backend's reduce order (deterministic per backend).
+path_len is an int32 sum — exact everywhere.
 """
 
 from __future__ import annotations
@@ -38,17 +49,18 @@ import numpy as np
 
 from telomeri_tpu.config import ScaffoldConfig
 from telomeri_tpu.graph.tensorize import GraphTensors
-from telomeri_tpu.walk.plan import MODE_MC, WalkPlan
+from telomeri_tpu.walk.plan import MODE_GREEDY_OS, MODE_MC, WalkPlan
 
 
 class GraphDev(NamedTuple):
     """Device-resident CSR tables (see graph/tensorize.py for layout)."""
 
-    nbr: jax.Array   # (N, K) int32
-    es: jax.Array    # (N, K) f32
-    os_: jax.Array   # (N, K) f32
-    adv: jax.Array   # (N, K) int32
-    eid: jax.Array   # (N, K) int32
+    nbr: jax.Array       # (N, K) int32
+    es: jax.Array        # (N, K) f32
+    os_: jax.Array       # (N, K) f32
+    eid: jax.Array       # (N, K) int32
+    edge_es: jax.Array   # (E,) f32  per-edge ES (post-scan reconstruction)
+    edge_adv: jax.Array  # (E,) int32 per-edge advance
 
 
 class PlanDev(NamedTuple):
@@ -74,10 +86,24 @@ class WalkResult(NamedTuple):
         return WalkResult(*[np.asarray(a) for a in self])
 
 
+def _edge_arrays(g: GraphTensors) -> tuple[np.ndarray, np.ndarray]:
+    if g.edge_es is not None:
+        return g.edge_es, g.edge_adv
+    # derive from the (N, K) tables (tests build GraphTensors by hand)
+    valid = g.eid >= 0
+    n_e = int(g.eid.max()) + 1 if valid.any() else 0
+    edge_es = np.zeros(max(n_e, 1), np.float32)
+    edge_adv = np.zeros(max(n_e, 1), np.int32)
+    edge_es[g.eid[valid]] = g.es[valid]
+    edge_adv[g.eid[valid]] = g.adv[valid]
+    return edge_es, edge_adv
+
+
 def graph_to_device(g: GraphTensors, sharding=None) -> GraphDev:
     put = (lambda a: jax.device_put(a, sharding)) if sharding is not None else jax.device_put
-    return GraphDev(nbr=put(g.nbr), es=put(g.es), os_=put(g.os_), adv=put(g.adv),
-                    eid=put(g.eid))
+    edge_es, edge_adv = _edge_arrays(g)
+    return GraphDev(nbr=put(g.nbr), es=put(g.es), os_=put(g.os_), eid=put(g.eid),
+                    edge_es=put(edge_es), edge_adv=put(edge_adv))
 
 
 def plan_to_device(p: WalkPlan, sharding=None) -> PlanDev:
@@ -86,15 +112,27 @@ def plan_to_device(p: WalkPlan, sharding=None) -> PlanDev:
                    uid=put(p.uid), active=put(p.active))
 
 
-@functools.partial(jax.jit, static_argnames=("n_anchors", "max_steps"))
-def run_walks(
-    g: GraphDev, p: PlanDev, seed, *, n_anchors: int, max_steps: int
+@functools.partial(jax.jit, static_argnames=("n_anchors", "max_steps", "kind"))
+def _run_walks_kind(
+    g: GraphDev, p: PlanDev, seed, *, n_anchors: int, max_steps: int, kind: str
 ) -> WalkResult:
-    """Run every planned walk for max_steps lockstep steps. Pure function of its inputs."""
+    """One lockstep scan, specialized by batch kind.
+
+    kind="mixed": any modes (generic; used by tests and ad-hoc plans).
+    kind="mc": all walks are Monte-Carlo with first_edge == -1 — skips the OS gather,
+      greedy argmax, and forced-edge take (the 97%-of-batch fast path).
+    kind="greedy": no RNG at all — skips key folding and categorical.
+    """
     w = p.start.shape[0]
+    k = g.nbr.shape[1]
     anchor_lim = jnp.int32(2 * n_anchors)
-    base = jax.random.key(seed)
-    walk_keys = jax.vmap(lambda u: jax.random.fold_in(base, u))(p.uid)
+    use_mc = kind in ("mixed", "mc")
+    use_greedy = kind in ("mixed", "greedy")
+    if use_mc:
+        base = jax.random.key(seed)
+        walk_keys = jax.vmap(lambda u: jax.random.fold_in(base, u))(p.uid)
+    is_mc = p.mode == MODE_MC
+    is_os = p.mode == MODE_GREEDY_OS
 
     visited0 = jnp.full((w, max_steps + 1), -1, jnp.int32).at[:, 0].set(p.start)
     carry0 = dict(
@@ -102,8 +140,6 @@ def run_walks(
         done=~p.active,
         success=jnp.zeros(w, bool),
         terminal=jnp.full(w, -1, jnp.int32),
-        plen=jnp.zeros(w, jnp.int32),
-        score=jnp.zeros(w, jnp.float32),
         nsteps=jnp.zeros(w, jnp.int32),
         visited=visited0,
     )
@@ -111,43 +147,50 @@ def run_walks(
     def step(carry, s):
         cur = carry["cur"]
         nbr = g.nbr[cur]          # (W, K)
-        es = g.es[cur]
-        osb = g.os_[cur]
-        adv = g.adv[cur]
-        eid = g.eid[cur]
 
         valid = nbr >= 0
         # cycle kill: destination may not already be on the path
         revisit = (nbr[:, :, None] == carry["visited"][:, None, :]).any(-1)
         valid &= ~revisit
 
-        # greedy choice: argmax of the mode's score; CSR pre-sort fixes tie-breaks
-        gscore = jnp.where(p.mode[:, None] == 0, osb, es)
-        masked = jnp.where(valid, gscore, -jnp.inf)
-        greedy_choice = jnp.argmax(masked, axis=1).astype(jnp.int32)
-        greedy_dead = ~jnp.isfinite(jnp.max(masked, axis=1))
+        if use_greedy:
+            # greedy-ES: rows are ES-sorted, so the best candidate is the FIRST valid
+            # slot; greedy-OS needs a masked argmax over OS. Merge: argmax over a
+            # (W, K) key that is OS for mode-0 walks and a descending ramp otherwise.
+            osb = g.os_[cur]
+            ramp = -jax.lax.broadcasted_iota(jnp.float32, (w, k), 1)
+            gkey = jnp.where(is_os[:, None], osb, ramp)
+            masked = jnp.where(valid, gkey, -jnp.inf)
+            greedy_choice = jnp.argmax(masked, axis=1).astype(jnp.int32)
+            greedy_dead = ~valid.any(axis=1)
 
-        # Monte-Carlo choice: prob ∝ ES over candidates with ES > 0, sampled as
-        # categorical(log ES) (Gumbel argmax — exactly proportional, no cumsum
-        # boundary cases). The oracle calls the identical function per walk.
-        eligible = valid & (es > 0)
-        logits = jnp.where(eligible, jnp.log(jnp.where(eligible, es, 1.0)), -jnp.inf)
-        step_keys = jax.vmap(lambda k: jax.random.fold_in(k, s))(walk_keys)
-        mc_choice = jax.vmap(jax.random.categorical)(step_keys, logits).astype(jnp.int32)
-        mc_dead = ~eligible.any(axis=1)
+        if use_mc:
+            # Monte-Carlo: prob ∝ ES over candidates with ES > 0, via
+            # categorical(log ES) (Gumbel argmax — exactly proportional; the oracle
+            # calls the same function).
+            es = g.es[cur]
+            eligible = valid & (es > 0)
+            logits = jnp.where(eligible, jnp.log(jnp.where(eligible, es, 1.0)), -jnp.inf)
+            step_keys = jax.vmap(lambda kk: jax.random.fold_in(kk, s))(walk_keys)
+            mc_choice = jax.vmap(jax.random.categorical)(step_keys, logits).astype(jnp.int32)
+            mc_dead = ~eligible.any(axis=1)
 
-        is_mc = p.mode == MODE_MC
-        choice = jnp.where(is_mc, mc_choice, greedy_choice)
-        dead = jnp.where(is_mc, mc_dead, greedy_dead)
+        if kind == "mc":
+            choice, dead = mc_choice, mc_dead
+        elif kind == "greedy":
+            choice, dead = greedy_choice, greedy_dead
+        else:
+            choice = jnp.where(is_mc, mc_choice, greedy_choice)
+            dead = jnp.where(is_mc, mc_dead, greedy_dead)
 
-        # deterministic first-edge enumeration
-        forced = (s == 0) & (p.first_edge >= 0)
-        choice = jnp.where(forced, p.first_edge, choice)
-        chosen_valid = jnp.take_along_axis(valid, choice[:, None], 1)[:, 0]
-        dead = jnp.where(forced, ~chosen_valid, dead)
+        if use_greedy:
+            # deterministic first-edge enumeration (MC plans always have -1)
+            forced = (s == 0) & (p.first_edge >= 0)
+            choice = jnp.where(forced, p.first_edge, choice)
+            chosen_valid = jnp.take_along_axis(valid, choice[:, None], 1)[:, 0]
+            dead = jnp.where(forced, ~chosen_valid, dead)
 
-        take = lambda a: jnp.take_along_axis(a, choice[:, None], 1)[:, 0]
-        nxt = take(nbr)
+        nxt = jnp.take_along_axis(nbr, choice[:, None], 1)[:, 0]
         stepping = ~carry["done"] & ~dead
         hit_anchor = stepping & (nxt < anchor_lim)
 
@@ -156,34 +199,80 @@ def run_walks(
             done=carry["done"] | dead | hit_anchor,
             success=carry["success"] | hit_anchor,
             terminal=jnp.where(hit_anchor, nxt, carry["terminal"]),
-            plen=carry["plen"] + jnp.where(stepping, take(adv), 0),
-            score=carry["score"] + jnp.where(stepping, take(es), 0.0),
             nsteps=carry["nsteps"] + stepping.astype(jnp.int32),
             visited=carry["visited"].at[:, s + 1].set(jnp.where(stepping, nxt, -1)),
         )
-        out = (jnp.where(stepping, nxt, -1), jnp.where(stepping, take(eid), -1))
-        return new, out
+        return new, jnp.where(stepping, choice, -1)
 
-    carry, (nodes_t, eids_t) = jax.lax.scan(
+    carry, slots_t = jax.lax.scan(
         step, carry0, jnp.arange(max_steps, dtype=jnp.int32)
     )
+    slots = jnp.transpose(slots_t)                 # (W, S)
+
+    # post-scan reconstruction: edge ids from (node, slot), then per-edge sums
+    src_nodes = carry["visited"][:, :max_steps]    # node the step left FROM
+    took = slots >= 0
+    flat = jnp.clip(src_nodes, 0) * k + jnp.clip(slots, 0)
+    eids = jnp.where(took, g.eid.reshape(-1)[flat], -1)
+    e_ok = jnp.clip(eids, 0)
+    path_len = jnp.sum(jnp.where(took, g.edge_adv[e_ok], 0), axis=1, dtype=jnp.int32)
+    score_sum = jnp.sum(jnp.where(took, g.edge_es[e_ok], 0.0), axis=1)
+
     return WalkResult(
         nodes=carry["visited"],
-        eids=jnp.transpose(eids_t),
+        eids=eids,
         steps=carry["nsteps"],
         success=carry["success"],
         terminal=carry["terminal"],
-        path_len=carry["plen"],
-        score_sum=carry["score"],
+        path_len=path_len,
+        score_sum=score_sum,
     )
+
+
+def run_walks(
+    g: GraphDev, p: PlanDev, seed, *, n_anchors: int, max_steps: int
+) -> WalkResult:
+    """Generic mixed-mode engine (any plan). Pure function of its inputs."""
+    return _run_walks_kind(
+        g, p, seed, n_anchors=n_anchors, max_steps=max_steps, kind="mixed")
+
+
+def _slice_plan(p: WalkPlan, lo: int, hi: int) -> WalkPlan:
+    return WalkPlan(start=p.start[lo:hi], first_edge=p.first_edge[lo:hi],
+                    mode=p.mode[lo:hi], uid=p.uid[lo:hi], active=p.active[lo:hi])
+
+
+def run_walks_sectioned(
+    g: GraphDev, plan: WalkPlan, seed, *, n_anchors: int, max_steps: int,
+    sharding=None,
+) -> WalkResult:
+    """Fast path for sectioned plans (plan_walks layout): one specialized scan per
+    section, results concatenated back into plan row order. Falls back to the mixed
+    engine when the plan has no section info. Bit-identical to run_walks on the same
+    rows (same per-walk op order; uid-keyed RNG)."""
+    if plan.sections is None:
+        res = run_walks(g, plan_to_device(plan, sharding), seed,
+                        n_anchors=n_anchors, max_steps=max_steps)
+        return res
+    parts = []
+    for kind in ("greedy", "mc"):
+        lo, hi = plan.sections[kind]
+        if hi == lo:
+            continue
+        pd = plan_to_device(_slice_plan(plan, lo, hi), sharding)
+        parts.append(_run_walks_kind(
+            g, pd, seed, n_anchors=n_anchors, max_steps=max_steps, kind=kind))
+    if len(parts) == 1:
+        return parts[0]
+    return WalkResult(*[jnp.concatenate(a, axis=0) for a in zip(*parts)])
 
 
 def run_walks_host(
     g: GraphTensors, plan: WalkPlan, cfg: ScaffoldConfig
 ) -> WalkResult:
     """Single-device convenience wrapper (numpy in, numpy out)."""
-    res = run_walks(
-        graph_to_device(g), plan_to_device(plan), cfg.mc_seed,
+    res = run_walks_sectioned(
+        graph_to_device(g), plan, cfg.mc_seed,
         n_anchors=g.n_anchors, max_steps=cfg.max_steps,
     )
     return res.to_numpy()

@@ -1,0 +1,62 @@
+"""Checkpoint/resume artifact round-trips (SURVEY.md §6) and resumed-pipeline parity."""
+
+import os
+
+import numpy as np
+import pytest
+
+from telomeri_tpu.config import ScaffoldConfig
+from telomeri_tpu.io.artifacts import load_graph, load_walks, save_graph, save_walks
+from telomeri_tpu.pipeline import run_pipeline
+
+CFG = ScaffoldConfig(mc_walks_per_end=30, max_steps=16)
+
+
+def _paths(d):
+    return [os.path.join(d, f) for f in
+            ("contigs.fa", "reads.fa", "read2contig.paf", "read2read.paf")]
+
+
+def test_graph_artifact_roundtrip(toy_dataset_dir, tmp_path):
+    from telomeri_tpu.pipeline import build_graph, load_inputs
+
+    contigs, reads, paf = load_inputs(*_paths(toy_dataset_dir))
+    edges, graph = build_graph(contigs, reads, paf, CFG)
+    p = str(tmp_path / "g.npz")
+    save_graph(p, edges, graph, CFG)
+    e2, g2 = load_graph(p, CFG)
+    np.testing.assert_array_equal(edges.src, e2.src)
+    np.testing.assert_array_equal(edges.es, e2.es)
+    np.testing.assert_array_equal(edges.el, e2.el)
+    np.testing.assert_array_equal(graph.nbr, g2.nbr)
+    np.testing.assert_array_equal(graph.edge_adv, g2.edge_adv)
+    assert g2.n_anchors == graph.n_anchors
+    assert g2.stats == graph.stats
+
+
+def test_wrong_kind_rejected(toy_dataset_dir, tmp_path):
+    from telomeri_tpu.pipeline import build_graph, load_inputs
+
+    contigs, reads, paf = load_inputs(*_paths(toy_dataset_dir))
+    edges, graph = build_graph(contigs, reads, paf, CFG)
+    p = str(tmp_path / "g.npz")
+    save_graph(p, edges, graph, CFG)
+    with pytest.raises(ValueError, match="expected 'walks'"):
+        load_walks(p, CFG)
+
+
+def test_resume_from_artifacts_identical_output(toy_dataset_dir, tmp_path):
+    args = _paths(toy_dataset_dir)
+    out0 = str(tmp_path / "direct.fa")
+    gp = str(tmp_path / "graph.npz")
+    wp = str(tmp_path / "walks.npz")
+    run_pipeline(*args, out0, CFG, save_graph_path=gp, save_walks_path=wp)
+
+    out1 = str(tmp_path / "from_graph.fa")
+    run_pipeline(args[0], args[1], None, None, out1, CFG, graph_artifact=gp)
+    assert open(out1, "rb").read() == open(out0, "rb").read()
+
+    out2 = str(tmp_path / "from_walks.fa")
+    run_pipeline(args[0], args[1], None, None, out2, CFG,
+                 graph_artifact=gp, walks_artifact=wp)
+    assert open(out2, "rb").read() == open(out0, "rb").read()

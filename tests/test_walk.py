@@ -171,7 +171,33 @@ def test_plan_walks_enumeration():
     # anchor ends with deg>0: node 0 (deg 1) -> 2 greedy + 5 mc = 7 walks
     assert p.n_active == 7
     assert len(p) % 8 == 0
-    assert (p.uid == np.arange(len(p))).all()
+    # sectioned layout: greedy rows first, then mc; uids assigned before padding
+    glo, ghi = p.sections["greedy"]
+    mlo, mhi = p.sections["mc"]
+    assert list(p.uid[glo:glo + 2]) == [0, 1]
+    assert list(p.uid[mlo:mlo + 5]) == [2, 3, 4, 5, 6]
+    # padding rows are inactive with uids past the active range
+    assert not p.active[ghi - 1] and p.uid[ghi - 1] >= 7
+    # uid_to_row inverts the layout
+    lut = p.uid_to_row()
+    for uid in range(7):
+        assert p.uid[lut[uid]] == uid
+
+
+def test_sectioned_equals_mixed():
+    from telomeri_tpu.walk.engine import (
+        graph_to_device, plan_to_device, run_walks_sectioned)
+
+    g = chain_graph()
+    cfg = ScaffoldConfig(mc_walks_per_end=6, max_steps=8)
+    p = plan_walks(g, cfg)
+    gd = graph_to_device(g)
+    mixed = run_walks(gd, plan_to_device(p), 5, n_anchors=g.n_anchors,
+                      max_steps=8).to_numpy()
+    sect = run_walks_sectioned(gd, p, 5, n_anchors=g.n_anchors,
+                               max_steps=8).to_numpy()
+    for a, b in zip(mixed, sect):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
 def test_fast_choice_fn_valid():
