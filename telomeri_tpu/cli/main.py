@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
+import os
 import sys
 
 from telomeri_tpu.config import ScaffoldConfig
@@ -57,6 +58,10 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--save-graph", help="save tensorized graph artifact (.npz)")
     s.add_argument("--walks", help="resume: load walk-table artifact (.npz)")
     s.add_argument("--save-walks", help="save walk-table artifact (.npz)")
+    s.add_argument("--mesh", type=int, default=0, metavar="N",
+                   help="shard walk batches over the first N devices (0 = single device)")
+    s.add_argument("--trace", metavar="DIR",
+                   help="write a jax.profiler trace of the device phase to DIR")
     _add_config_flags(s)
 
     g = sub.add_parser("simulate", help="generate a synthetic test dataset")
@@ -71,6 +76,14 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
     setup_logging(args.verbose)
+
+    # TELOMERI_PLATFORM=cpu forces the JAX backend (the container's sitecustomize
+    # overrides JAX_PLATFORMS, so this must happen via config before first use)
+    platform = os.environ.get("TELOMERI_PLATFORM")
+    if platform:
+        import jax
+
+        jax.config.update("jax_platforms", platform)
 
     if args.cmd == "simulate":
         from telomeri_tpu.sim import SimConfig, simulate, write_dataset
@@ -90,10 +103,17 @@ def main(argv: list[str] | None = None) -> int:
                 "resuming from --graph")
         cfg = _config_from_args(args)
         metrics = Metrics()
+        mesh = None
+        if args.mesh:
+            from telomeri_tpu.dist.mesh import init_distributed, make_walk_mesh
+
+            init_distributed()
+            mesh = make_walk_mesh(args.mesh)
         res = run_pipeline(args.contigs, args.reads, args.paf_read_contig,
-                           args.paf_read_read, args.out, cfg, metrics,
+                           args.paf_read_read, args.out, cfg, metrics, mesh=mesh,
                            graph_artifact=args.graph, save_graph_path=args.save_graph,
-                           walks_artifact=args.walks, save_walks_path=args.save_walks)
+                           walks_artifact=args.walks, save_walks_path=args.save_walks,
+                           trace_dir=args.trace)
         with open(args.out + ".config.json", "w") as f:
             f.write(cfg.to_json())
         metrics.dump(args.out + ".metrics.json")

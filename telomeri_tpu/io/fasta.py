@@ -53,10 +53,22 @@ class SequenceSet:
         return len(self.names)
 
 
-def read_fasta(path: str) -> SequenceSet:
-    """Read FASTA or FASTQ (detected from the first byte). Supports multi-line FASTA."""
+def _read_bytes(path: str) -> bytes:
+    """Read a file, transparently decompressing gzip (magic-byte detection)."""
     with open(path, "rb") as f:
-        data = f.read()
+        head = f.read(2)
+        if head == b"\x1f\x8b":
+            import gzip
+
+            f.seek(0)
+            with gzip.open(f) as gz:
+                return gz.read()
+        return head + f.read()
+
+
+def read_fasta(path: str) -> SequenceSet:
+    """Read FASTA or FASTQ, plain or .gz (both auto-detected). Multi-line FASTA ok."""
+    data = _read_bytes(path)
     if not data:
         return SequenceSet([], [])
     if data[0:1] == b">":

@@ -57,12 +57,21 @@ def parse_paf(path: str, name_index: dict[str, int], strict: bool = True) -> Paf
     Rows naming sequences absent from `name_index` raise (strict=True) or are dropped
     (strict=False, counted). Deterministic: rows keep file order.
     """
+    from telomeri_tpu.io.fasta import _read_bytes
     from telomeri_tpu.native import paf_native
-    raw = paf_native.parse_paf_columns(path)
-    if raw is not None:
-        qnames, tnames, ints = raw
+
+    with open(path, "rb") as f:
+        gzipped = f.read(2) == b"\x1f\x8b"
+    if gzipped:
+        # decompress to memory and use the Python splitter (the native parser reads
+        # from the filesystem; gz PAFs are small enough that this path is fine)
+        qnames, tnames, ints = _parse_columns_bytes(_read_bytes(path), path)
     else:
-        qnames, tnames, ints = _parse_columns_py(path)
+        raw = paf_native.parse_paf_columns(path)
+        if raw is not None:
+            qnames, tnames, ints = raw
+        else:
+            qnames, tnames, ints = _parse_columns_py(path)
 
     qid = _resolve(qnames, name_index)
     tid = _resolve(tnames, name_index)
@@ -86,25 +95,29 @@ def parse_paf(path: str, name_index: dict[str, int], strict: bool = True) -> Paf
 
 def _parse_columns_py(path: str):
     """Pure-Python column splitter: (qnames, tnames, int matrix [qlen qs qe strand tlen ts te nm bl])."""
+    with open(path, "rb") as f:
+        return _parse_columns_bytes(f.read(), path)
+
+
+def _parse_columns_bytes(data: bytes, path: str):
     qnames: list[str] = []
     tnames: list[str] = []
     rows: list[tuple[int, ...]] = []
-    with open(path, "rb") as f:
-        for lineno, line in enumerate(f, 1):
-            line = line.rstrip(b"\r\n")
-            if not line:
-                continue
-            cols = line.split(b"\t")
-            if len(cols) < 11:
-                raise ValueError(f"{path}:{lineno}: PAF row has {len(cols)} < 11 columns")
-            if cols[4] not in (b"+", b"-"):
-                raise ValueError(f"{path}:{lineno}: bad strand {cols[4]!r}")
-            qnames.append(cols[0].decode())
-            tnames.append(cols[5].decode())
-            rows.append((int(cols[1]), int(cols[2]), int(cols[3]),
-                         0 if cols[4] == b"+" else 1,
-                         int(cols[6]), int(cols[7]), int(cols[8]),
-                         int(cols[9]), int(cols[10])))
+    for lineno, line in enumerate(data.split(b"\n"), 1):
+        line = line.rstrip(b"\r")
+        if not line:
+            continue
+        cols = line.split(b"\t")
+        if len(cols) < 11:
+            raise ValueError(f"{path}:{lineno}: PAF row has {len(cols)} < 11 columns")
+        if cols[4] not in (b"+", b"-"):
+            raise ValueError(f"{path}:{lineno}: bad strand {cols[4]!r}")
+        qnames.append(cols[0].decode())
+        tnames.append(cols[5].decode())
+        rows.append((int(cols[1]), int(cols[2]), int(cols[3]),
+                     0 if cols[4] == b"+" else 1,
+                     int(cols[6]), int(cols[7]), int(cols[8]),
+                     int(cols[9]), int(cols[10])))
     ints = np.array(rows, dtype=np.int64).reshape(len(rows), 9)
     return np.array(qnames, dtype=object), np.array(tnames, dtype=object), ints
 

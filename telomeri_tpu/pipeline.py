@@ -84,6 +84,7 @@ def run_pipeline(
     save_graph_path: str | None = None,
     walks_artifact: str | None = None,
     save_walks_path: str | None = None,
+    trace_dir: str | None = None,
 ) -> PipelineResult:
     """Full pipeline. Pass a jax.sharding.Mesh to shard walk batches data-parallel
     (SURVEY.md §4.2); omit it for the single-device path. graph/walks artifacts
@@ -117,6 +118,8 @@ def run_pipeline(
                 group_window=cfg.group_window, min_support=cfg.min_group_support)
             bridges = compress(cons)
     else:
+        from telomeri_tpu.utils.profiling import maybe_trace
+
         with metrics.stage("plan_walks"):
             plan = plan_walks(graph, cfg, n_shards=mesh.size if mesh is not None else 1)
         metrics.set("n_walks", plan.n_active)
@@ -124,13 +127,13 @@ def run_pipeline(
         if mesh is not None:
             from telomeri_tpu.dist.mesh import run_walks_distributed
 
-            with metrics.stage("run_walks"):
+            with metrics.stage("run_walks"), maybe_trace(trace_dir):
                 walks, cons = run_walks_distributed(graph, plan, cfg, mesh)
                 walks = walks.to_numpy()
             with metrics.stage("consensus"):
                 bridges = compress(cons)
         else:
-            with metrics.stage("run_walks"):
+            with metrics.stage("run_walks"), maybe_trace(trace_dir):
                 walks = run_walks_host(graph, plan, cfg)
             with metrics.stage("consensus"):
                 summary = summarize(walks, plan.uid)
@@ -165,6 +168,10 @@ def run_pipeline(
         scaffolds = emit_scaffolds(accepted, paths, stitcher)
     metrics.set("n_scaffolds", len(scaffolds))
     metrics.set("scaffold_lengths", [int(len(s.seq)) for s in scaffolds])
+    from telomeri_tpu.utils.stats import scaffold_vs_contig_stats
+
+    metrics.set("assembly", scaffold_vs_contig_stats(
+        [len(s.seq) for s in scaffolds], list(contigs.lengths)))
 
     if out_path:
         with metrics.stage("write_fasta"):

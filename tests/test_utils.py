@@ -1,0 +1,42 @@
+"""Stats + gzip IO tests."""
+
+import gzip
+
+import numpy as np
+
+from telomeri_tpu.io.fasta import read_fasta
+from telomeri_tpu.io.paf import parse_paf
+from telomeri_tpu.utils.stats import assembly_stats
+
+
+def test_n50():
+    s = assembly_stats([10, 20, 30, 40])  # total 100, cum desc: 40,70,90,100
+    assert s["n50"] == 30 and s["l50"] == 2
+    assert s["n90"] == 20
+    assert s["max_len"] == 40 and s["total_bp"] == 100
+
+
+def test_n50_single():
+    s = assembly_stats([42])
+    assert s["n50"] == 42 and s["l50"] == 1
+
+
+def test_empty_stats():
+    assert assembly_stats([])["n50"] == 0
+
+
+def test_gzip_fasta(tmp_path):
+    p = tmp_path / "x.fa.gz"
+    with gzip.open(p, "wb") as f:
+        f.write(b">a\nACGT\n>b\nGG\n")
+    got = read_fasta(str(p))
+    assert got.names == ["a", "b"]
+    assert got.seqs[0].tobytes() == b"ACGT"
+
+
+def test_gzip_paf(tmp_path):
+    p = tmp_path / "o.paf.gz"
+    with gzip.open(p, "wb") as f:
+        f.write(b"r1\t100\t5\t95\t+\tc1\t500\t400\t490\t85\t90\t255\n")
+    rec = parse_paf(str(p), {"r1": 1, "c1": 0})
+    assert len(rec) == 1 and rec.tend[0] == 490
