@@ -66,10 +66,12 @@ def build_parser() -> argparse.ArgumentParser:
 
     g = sub.add_parser("simulate", help="generate a synthetic test dataset")
     g.add_argument("--out", required=True, help="output directory")
-    from telomeri_tpu.sim import SimConfig
+    from telomeri_tpu.sim import PRESETS, SimConfig
+    g.add_argument("--preset", choices=sorted(PRESETS),
+                   help="evaluation-config preset (flags override its fields)")
     for f in dataclasses.fields(SimConfig):
         g.add_argument("--" + f.name.replace("_", "-"), type=type(f.default),
-                       default=f.default)
+                       default=None, help=f"default {f.default}")
     return ap
 
 
@@ -86,8 +88,13 @@ def main(argv: list[str] | None = None) -> int:
         jax.config.update("jax_platforms", platform)
 
     if args.cmd == "simulate":
-        from telomeri_tpu.sim import SimConfig, simulate, write_dataset
-        fields = {f.name: getattr(args, f.name) for f in dataclasses.fields(SimConfig)}
+        from telomeri_tpu.sim import PRESETS, SimConfig, simulate, write_dataset
+        base = PRESETS[args.preset] if args.preset else SimConfig()
+        fields = {
+            f.name: getattr(args, f.name) if getattr(args, f.name) is not None
+            else getattr(base, f.name)
+            for f in dataclasses.fields(SimConfig)
+        }
         data = simulate(SimConfig(**fields))
         write_dataset(data, args.out)
         log.info("wrote dataset to %s (%d contigs, %d reads, %d+%d paf rows)",

@@ -40,6 +40,32 @@ class SimConfig:
     seed: int = 0
 
 
+# Simulated stand-ins for the reference's evaluation configs (BASELINE.md; real data
+# is unreachable in this zero-egress container — SURVEY.md §0). Scale knobs follow the
+# real datasets' genome size / read profile, not their biology.
+PRESETS: dict[str, SimConfig] = {
+    # BASELINE config #1: lambda-phage toy (checked in as testdata/lambda)
+    "lambda": SimConfig(genome_len=48_500, repeat_len=2_500, n_repeat_copies=2,
+                        read_len_mean=2_000, read_len_sd=300, coverage=14.0,
+                        error_rate=0.02, seed=77),
+    # BASELINE config #2: E. coli K-12 scale, PacBio-ish reads
+    "ecoli": SimConfig(genome_len=4_600_000, repeat_len=5_000, n_repeat_copies=24,
+                       read_len_mean=8_000, read_len_sd=2_000, read_min_len=1_000,
+                       coverage=20.0, error_rate=0.05, min_sim_overlap=500, seed=101),
+    # BASELINE config #3: C. elegans chromosome scale (one ~15 Mb chromosome),
+    # ONT-ish reads, repeat-dense
+    "celegans-chr": SimConfig(genome_len=15_000_000, repeat_len=8_000,
+                              n_repeat_copies=60, read_len_mean=15_000,
+                              read_len_sd=6_000, read_min_len=2_000, coverage=15.0,
+                              error_rate=0.06, min_sim_overlap=1_000, seed=202),
+    # BASELINE config #4: human chr21 scale, ultra-long ONT reads
+    "chr21": SimConfig(genome_len=46_000_000, repeat_len=12_000, n_repeat_copies=120,
+                       read_len_mean=40_000, read_len_sd=20_000, read_min_len=5_000,
+                       coverage=12.0, error_rate=0.06, min_sim_overlap=2_000,
+                       seed=303),
+}
+
+
 @dataclass
 class SimData:
     genome: np.ndarray                    # uint8 ground truth

@@ -23,11 +23,13 @@ Semantics (deterministic, documented — SURVEY.md §7 "bit-identical" hard part
   - mode 0 / 1 (greedy by OS / ES): pick the max-score candidate; ties resolve to the
     lowest CSR slot, and CSR rows are pre-sorted by (ES desc, dst asc), which fixes the
     tie-break globally.
-  - mode 2 (Monte-Carlo): pick candidate j with probability ES_j / sum(ES), restricted
-    to candidates with ES > 0, sampled as categorical(log ES) (Gumbel argmax); a walk
-    with no positive-ES candidate dies. The draw uses the walk's OWN stream:
+  - mode 2 (Monte-Carlo): pick candidate j with probability w_j / sum(w), where
+    w = mc_weights(ES) (integer ceil(ES) weights, 0 for ES <= 0), sampled by integer
+    inverse-CDF — exact int32 cumsum, one 32-bit draw per walk per step. A walk with
+    no positive-weight candidate dies. The draw uses the walk's OWN stream:
     fold_in(fold_in(key(seed), uid), step) — invariant to batch size, padding,
-    sharding, and host count (SURVEY.md §5 item 3).
+    sharding, and host count (SURVEY.md §5 item 3), and bit-reproducible across
+    backends (integer cumsum has no rounding).
   - Step 0 honours plan.first_edge (deterministic first-edge enumeration); an invalid
     forced slot kills the walk.
   - A walk succeeds when it steps onto another anchor node (id < 2 * n_anchors); it
@@ -56,11 +58,23 @@ class GraphDev(NamedTuple):
     """Device-resident CSR tables (see graph/tensorize.py for layout)."""
 
     nbr: jax.Array       # (N, K) int32
-    es: jax.Array        # (N, K) f32
+    es_int: jax.Array    # (N, K) int32 MC sampling weights (see mc_weights)
     os_: jax.Array       # (N, K) f32
     eid: jax.Array       # (N, K) int32
     edge_es: jax.Array   # (E,) f32  per-edge ES (post-scan reconstruction)
     edge_adv: jax.Array  # (E,) int32 per-edge advance
+
+
+def mc_weights(es: np.ndarray) -> np.ndarray:
+    """Integer Monte-Carlo sampling weights from ES scores.
+
+    weight = ceil(ES) for ES > 0 (so any positive score keeps >= 1), else 0.
+    ES is in bp units (typically 100s-1000s), so the <= 1-unit quantisation error is
+    < 0.1% relative — and integer weights make the sampling cumsum EXACT and
+    order-independent, so MC decisions are bit-reproducible across backends and
+    reduce orders (SURVEY.md §7 determinism hard part)."""
+    es = np.asarray(es, np.float32)
+    return np.where(es > 0, np.maximum(np.ceil(es), 1), 0).astype(np.int32)
 
 
 class PlanDev(NamedTuple):
@@ -102,8 +116,8 @@ def _edge_arrays(g: GraphTensors) -> tuple[np.ndarray, np.ndarray]:
 def graph_to_device(g: GraphTensors, sharding=None) -> GraphDev:
     put = (lambda a: jax.device_put(a, sharding)) if sharding is not None else jax.device_put
     edge_es, edge_adv = _edge_arrays(g)
-    return GraphDev(nbr=put(g.nbr), es=put(g.es), os_=put(g.os_), eid=put(g.eid),
-                    edge_es=put(edge_es), edge_adv=put(edge_adv))
+    return GraphDev(nbr=put(g.nbr), es_int=put(mc_weights(g.es)), os_=put(g.os_),
+                    eid=put(g.eid), edge_es=put(edge_es), edge_adv=put(edge_adv))
 
 
 def plan_to_device(p: WalkPlan, sharding=None) -> PlanDev:
@@ -165,15 +179,20 @@ def _run_walks_kind(
             greedy_dead = ~valid.any(axis=1)
 
         if use_mc:
-            # Monte-Carlo: prob ∝ ES over candidates with ES > 0, via
-            # categorical(log ES) (Gumbel argmax — exactly proportional; the oracle
-            # calls the same function).
-            es = g.es[cur]
-            eligible = valid & (es > 0)
-            logits = jnp.where(eligible, jnp.log(jnp.where(eligible, es, 1.0)), -jnp.inf)
+            # Monte-Carlo: prob ∝ weight (mc_weights: ceil(ES) for ES > 0) via
+            # integer inverse-CDF: exact int32 cumsum + one 32-bit draw per walk.
+            # r = bits % total has modulo bias <= total / 2^31 (< 0.01% on real
+            # rows) — documented, deterministic, replicated bit-for-bit by the
+            # oracle. First slot with cum > r is the sample; zero-weight slots
+            # never advance cum so they are unreachable.
+            wq = jnp.where(valid, g.es_int[cur], 0)
+            cum = jnp.cumsum(wq, axis=1)
+            total = cum[:, -1]
             step_keys = jax.vmap(lambda kk: jax.random.fold_in(kk, s))(walk_keys)
-            mc_choice = jax.vmap(jax.random.categorical)(step_keys, logits).astype(jnp.int32)
-            mc_dead = ~eligible.any(axis=1)
+            bits = jax.vmap(lambda kk: jax.random.bits(kk, dtype=jnp.uint32))(step_keys)
+            r = (bits & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32) % jnp.maximum(total, 1)
+            mc_choice = jnp.argmax(cum > r[:, None], axis=1).astype(jnp.int32)
+            mc_dead = total <= 0
 
         if kind == "mc":
             choice, dead = mc_choice, mc_dead

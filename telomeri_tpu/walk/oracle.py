@@ -33,8 +33,9 @@ class OracleWalk:
 
 
 def jax_choice_fn(seed: int):
-    """Per-(uid, step) categorical sampler matching walk/engine.py's stream exactly:
-    calls the very same jax.random.categorical with the very same folded key."""
+    """Per-(uid, step) sampler matching walk/engine.py's stream and integer
+    inverse-CDF math exactly: same folded key -> same 32-bit draw -> same int32
+    cumsum comparison."""
     import jax
     import jax.numpy as jnp
 
@@ -42,12 +43,19 @@ def jax_choice_fn(seed: int):
     cache: dict[int, object] = {}
 
     def fn(uid: int, step: int, wts: np.ndarray) -> int:
+        from telomeri_tpu.walk.engine import mc_weights
+
         wk = cache.get(uid)
         if wk is None:
             wk = cache[uid] = jax.random.fold_in(base, uid)
-        eligible = wts > 0
-        logits = jnp.where(eligible, jnp.log(jnp.where(eligible, wts, 1.0)), -jnp.inf)
-        return int(jax.random.categorical(jax.random.fold_in(wk, step), logits))
+        wq = mc_weights(wts).astype(np.int64)
+        cum = np.cumsum(wq)
+        total = int(cum[-1])
+        if total <= 0:
+            return -1
+        bits = int(jax.random.bits(jax.random.fold_in(wk, step), dtype=jnp.uint32))
+        r = (bits & 0x7FFFFFFF) % total
+        return int(np.argmax(cum > r))
 
     return fn
 
