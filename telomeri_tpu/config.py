@@ -54,6 +54,10 @@ class ScaffoldConfig:
 
     # --- graph tensorization ---
     max_degree: int = 64           # CSR row width K; keep top-K out-edges by (ES desc, dst asc)
+    # "auto": score edges with the Pallas kernel when a TPU is the default backend,
+    # numpy otherwise; "on"/"off" force it. One backend scores the whole run, so
+    # results stay deterministic (kernels/scoring.py precision note).
+    device_scoring: str = "auto"
 
     # --- path generation ---
     mc_walks_per_end: int = 100    # Monte-Carlo repetitions per anchor end
@@ -66,6 +70,20 @@ class ScaffoldConfig:
 
     # --- sharding ---
     walk_batch_multiple: int = 8   # pad walk batch to a multiple of this * n_devices
+
+    def __post_init__(self) -> None:
+        if self.device_scoring not in ("auto", "on", "off"):
+            raise ValueError(
+                f"device_scoring must be auto/on/off, got {self.device_scoring!r}")
+        for f in ("min_identity", "max_overhang_ratio"):
+            v = getattr(self, f)
+            if not 0.0 <= v <= 10.0:
+                raise ValueError(f"{f}={v} out of range")
+        for f in ("min_overlap", "max_overhang", "max_degree", "mc_walks_per_end",
+                  "max_steps", "group_window", "min_group_support",
+                  "walk_batch_multiple"):
+            if getattr(self, f) < 0:
+                raise ValueError(f"{f} must be >= 0")
 
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self), indent=2, sort_keys=True)

@@ -67,7 +67,18 @@ def _read_bytes(path: str) -> bytes:
 
 
 def read_fasta(path: str) -> SequenceSet:
-    """Read FASTA or FASTQ, plain or .gz (both auto-detected). Multi-line FASTA ok."""
+    """Read FASTA or FASTQ, plain or .gz (both auto-detected). Multi-line FASTA ok.
+
+    Plain files use the C++ fast parser when built (parity-tested); gzipped files
+    and the no-library case fall back to this module's Python parser."""
+    with open(path, "rb") as f:
+        gzipped = f.read(2) == b"\x1f\x8b"
+    if not gzipped:
+        from telomeri_tpu.native import paf_native
+
+        native = paf_native.parse_fastx(path)
+        if native is not None:
+            return SequenceSet(native[0], native[1])
     data = _read_bytes(path)
     if not data:
         return SequenceSet([], [])

@@ -233,3 +233,20 @@ def build_edges(
         el=interleave(el2, el1),
     )
     return edges, st
+
+
+def rescore_edges_device(edges: EdgeSoA, backend: str = "auto") -> EdgeSoA:
+    """Recompute edges.os_/es with the device scoring kernel (SURVEY.md §1: the
+    'extension-score inner loop -> Pallas' production path). The device result
+    replaces the host scores so ALL downstream decisions use one backend's
+    arithmetic (kernels/scoring.py precision note)."""
+    if len(edges) == 0:
+        return edges
+    import numpy as _np
+
+    from telomeri_tpu.kernels.scoring import score_overlaps
+
+    _, os_, _, es2 = score_overlaps(*edges.geom_args(), backend=backend)
+    edges.os_ = _np.asarray(os_)
+    edges.es = _np.asarray(es2)
+    return edges

@@ -170,3 +170,172 @@ void tel_paf_copy_names(void* h, int which, char* out) {
 void tel_paf_free(void* h) { delete static_cast<PafFile*>(h); }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// FASTA/FASTQ parser (semantics defined by telomeri_tpu/io/fasta.py; parity
+// enforced by tests/test_native.py). Names are the first whitespace token of the
+// header; multi-line FASTA concatenated; FASTQ quality lines ignored; CRLF ok.
+
+namespace {
+
+struct FastxFile {
+    std::string names;              // concatenated name bytes
+    std::string seqs;               // concatenated sequence bytes
+    std::vector<int64_t> name_off;  // n+1
+    std::vector<int64_t> seq_off;   // n+1
+    std::string error;
+    int64_t nseqs = 0;
+};
+
+const char* first_token_end(const char* b, const char* e) {
+    while (b < e && *b != ' ' && *b != '\t') ++b;
+    return b;
+}
+
+void parse_fastx_buffer(FastxFile* ff, const char* data, size_t size,
+                        const char* path) {
+    const char* p = data;
+    const char* end = data + size;
+    char msg[256];
+    ff->name_off.push_back(0);
+    ff->seq_off.push_back(0);
+    if (size == 0) return;
+
+    if (*p == '>') {  // FASTA
+        bool in_seq = false;
+        while (p < end) {
+            const char* nl = static_cast<const char*>(memchr(p, '\n', end - p));
+            const char* le = nl ? nl : end;
+            if (le > p && le[-1] == '\r') --le;
+            if (le > p) {
+                if (*p == '>') {
+                    if (in_seq) {
+                        ff->seq_off.push_back(static_cast<int64_t>(ff->seqs.size()));
+                    }
+                    const char* ne = first_token_end(p + 1, le);
+                    ff->names.append(p + 1, ne - (p + 1));
+                    ff->name_off.push_back(static_cast<int64_t>(ff->names.size()));
+                    ++ff->nseqs;
+                    in_seq = true;
+                } else {
+                    ff->seqs.append(p, le - p);
+                }
+            }
+            p = nl ? nl + 1 : end;
+        }
+        if (in_seq) ff->seq_off.push_back(static_cast<int64_t>(ff->seqs.size()));
+        return;
+    }
+
+    if (*p == '@') {  // FASTQ: 4-line records
+        int64_t lineno = 0;
+        while (p < end) {
+            // header
+            ++lineno;
+            const char* nl = static_cast<const char*>(memchr(p, '\n', end - p));
+            const char* le = nl ? nl : end;
+            if (le > p && le[-1] == '\r') --le;
+            if (le == p) { p = nl ? nl + 1 : end; continue; }
+            if (*p != '@') {
+                snprintf(msg, sizeof msg,
+                         "%s: FASTQ record %lld: expected '@'", path,
+                         static_cast<long long>(ff->nseqs));
+                ff->error = msg;
+                return;
+            }
+            const char* ne = first_token_end(p + 1, le);
+            ff->names.append(p + 1, ne - (p + 1));
+            ff->name_off.push_back(static_cast<int64_t>(ff->names.size()));
+            p = nl ? nl + 1 : end;
+            // sequence
+            nl = static_cast<const char*>(memchr(p, '\n', end - p));
+            le = nl ? nl : end;
+            if (le > p && le[-1] == '\r') --le;
+            ff->seqs.append(p, le - p);
+            ff->seq_off.push_back(static_cast<int64_t>(ff->seqs.size()));
+            ++ff->nseqs;
+            p = nl ? nl + 1 : end;
+            // '+' line and quality line: skipped
+            for (int skip = 0; skip < 2 && p < end; ++skip) {
+                nl = static_cast<const char*>(memchr(p, '\n', end - p));
+                p = nl ? nl + 1 : end;
+            }
+        }
+        return;
+    }
+
+    snprintf(msg, sizeof msg, "%s: not FASTA/FASTQ (first byte 0x%02x)", path,
+             static_cast<unsigned char>(*p));
+    ff->error = msg;
+}
+
+}  // namespace
+
+extern "C" {
+
+void* tel_parse_fastx(const char* path) {
+    FILE* f = fopen(path, "rb");
+    if (!f) return nullptr;
+    fseek(f, 0, SEEK_END);
+    long size = ftell(f);
+    fseek(f, 0, SEEK_SET);
+    std::string buf;
+    buf.resize(size < 0 ? 0 : static_cast<size_t>(size));
+    if (size > 0 && fread(&buf[0], 1, buf.size(), f) != buf.size()) {
+        fclose(f);
+        return nullptr;
+    }
+    fclose(f);
+    FastxFile* ff = new FastxFile();
+    parse_fastx_buffer(ff, buf.data(), buf.size(), path);
+    return ff;
+}
+
+int64_t tel_fastx_nseqs(void* h) { return static_cast<FastxFile*>(h)->nseqs; }
+
+const char* tel_fastx_error(void* h) {
+    FastxFile* ff = static_cast<FastxFile*>(h);
+    return ff->error.empty() ? nullptr : ff->error.c_str();
+}
+
+int64_t tel_fastx_names_bytes(void* h) {
+    return static_cast<int64_t>(static_cast<FastxFile*>(h)->names.size());
+}
+
+int64_t tel_fastx_seqs_bytes(void* h) {
+    return static_cast<int64_t>(static_cast<FastxFile*>(h)->seqs.size());
+}
+
+void tel_fastx_fill(void* h, char* names, int64_t* name_off, char* seqs,
+                    int64_t* seq_off) {
+    FastxFile* ff = static_cast<FastxFile*>(h);
+    memcpy(names, ff->names.data(), ff->names.size());
+    memcpy(name_off, ff->name_off.data(), ff->name_off.size() * sizeof(int64_t));
+    memcpy(seqs, ff->seqs.data(), ff->seqs.size());
+    memcpy(seq_off, ff->seq_off.data(), ff->seq_off.size() * sizeof(int64_t));
+}
+
+void tel_fastx_free(void* h) { delete static_cast<FastxFile*>(h); }
+
+}  // extern "C"
+
+extern "C" {
+
+// zero-copy accessors: pointers into the C++-owned buffers (valid until
+// tel_fastx_free). The Python side wraps these as numpy views and frees the
+// handle from a finalizer — avoids a full-corpus memcpy, which matters on this
+// host (measured ~50 MB/s RAM copies).
+const char* tel_fastx_names_ptr(void* h) {
+    return static_cast<FastxFile*>(h)->names.data();
+}
+const char* tel_fastx_seqs_ptr(void* h) {
+    return static_cast<FastxFile*>(h)->seqs.data();
+}
+const int64_t* tel_fastx_name_off_ptr(void* h) {
+    return static_cast<FastxFile*>(h)->name_off.data();
+}
+const int64_t* tel_fastx_seq_off_ptr(void* h) {
+    return static_cast<FastxFile*>(h)->seq_off.data();
+}
+
+}  // extern "C"

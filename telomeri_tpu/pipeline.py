@@ -63,6 +63,17 @@ def build_graph(contigs: SequenceSet, reads: SequenceSet, paf: PafRecords,
     with metrics.stage("build_edges"):
         edges, fstats = build_edges(paf, cfg, n_seqs)
     metrics.set("filter", fstats.as_dict())
+    if cfg.device_scoring != "off":
+        import jax
+
+        from telomeri_tpu.io.geometry import rescore_edges_device
+
+        on_tpu = jax.default_backend() == "tpu"
+        if cfg.device_scoring == "on" or on_tpu:
+            with metrics.stage("score_edges_device"):
+                edges = rescore_edges_device(
+                    edges, backend="pallas" if on_tpu else "jnp")
+            metrics.set("scoring_backend", "pallas" if on_tpu else "jnp")
     with metrics.stage("tensorize"):
         seq_len = np.concatenate([
             contigs.lengths, reads.lengths]) if n_seqs else np.empty(0, np.int64)

@@ -54,3 +54,48 @@ def test_native_empty_file(tmp_path):
     p.write_bytes(b"")
     qn, tn, ints = paf_native.parse_paf_columns(str(p))
     assert len(qn) == 0 and ints.shape == (0, 9)
+
+
+def test_native_fastx_matches_python_fasta(tmp_path):
+    from telomeri_tpu.io.fasta import _parse_fasta
+
+    p = tmp_path / "m.fa"
+    data = b">x desc here\r\nACGT\r\nTTTT\r\n>empty\n>y\nGG\n"
+    p.write_bytes(data)
+    names, seqs = paf_native.parse_fastx(str(p))
+    ref = _parse_fasta(data)
+    assert names == ref.names == ["x", "empty", "y"]
+    for a, b in zip(seqs, ref.seqs):
+        assert np.array_equal(np.asarray(a), b)
+
+
+def test_native_fastx_matches_python_fastq(tmp_path):
+    from telomeri_tpu.io.fasta import _parse_fastq
+
+    p = tmp_path / "r.fq"
+    data = b"@r1 extra\nACGT\n+\nIIII\n@r2\nTT\n+\n!!\n"
+    p.write_bytes(data)
+    names, seqs = paf_native.parse_fastx(str(p))
+    ref = _parse_fastq(data)
+    assert names == ref.names
+    for a, b in zip(seqs, ref.seqs):
+        assert np.array_equal(np.asarray(a), b)
+
+
+def test_native_fastx_on_simulated(toy_dataset_dir):
+    import os
+
+    from telomeri_tpu.io.fasta import _parse_fasta
+
+    p = os.path.join(toy_dataset_dir, "reads.fa")
+    names, seqs = paf_native.parse_fastx(p)
+    ref = _parse_fasta(open(p, "rb").read())
+    assert names == ref.names
+    assert all(np.array_equal(np.asarray(a), b) for a, b in zip(seqs, ref.seqs))
+
+
+def test_native_fastx_bad_first_byte(tmp_path):
+    p = tmp_path / "bad.txt"
+    p.write_text("hello")
+    with pytest.raises(ValueError, match="not FASTA/FASTQ"):
+        paf_native.parse_fastx(str(p))
