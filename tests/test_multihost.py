@@ -1,0 +1,74 @@
+"""True multi-process multi-host test (SURVEY.md §5 item 6, §6 comm backend):
+two jax.distributed processes (4 virtual CPU devices each, Gloo collectives) must
+produce identical consensus on every rank, equal to the single-process result."""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+WORKER = r"""
+import os, sys
+pid = int(sys.argv[1]); nproc = int(sys.argv[2]); port = sys.argv[3]; lam = sys.argv[4]
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
+                           num_processes=nproc, process_id=pid)
+from telomeri_tpu.config import ScaffoldConfig
+from telomeri_tpu.pipeline import build_graph, load_inputs
+from telomeri_tpu.dist.mesh import make_walk_mesh, run_walks_distributed
+from telomeri_tpu.consensus.grouping import compress
+from telomeri_tpu.walk.plan import plan_walks
+
+cfg = ScaffoldConfig(mc_walks_per_end=64, max_steps=24)
+contigs, reads, paf = load_inputs(f"{lam}/contigs.fa", f"{lam}/reads.fa",
+                                  f"{lam}/read2contig.paf", f"{lam}/read2read.paf")
+edges, graph = build_graph(contigs, reads, paf, cfg)
+mesh = make_walk_mesh()
+plan = plan_walks(graph, cfg, n_shards=mesh.size)
+res, cons = run_walks_distributed(graph, plan, cfg, mesh)
+print("BRIDGES=" + repr(compress(cons)), flush=True)
+"""
+
+LAMBDA = os.path.join(os.path.dirname(__file__), "..", "testdata", "lambda")
+
+
+@pytest.mark.slow
+def test_two_process_multihost(tmp_path):
+    script = tmp_path / "worker.py"
+    script.write_text(WORKER)
+    env = dict(os.environ, PYTHONPATH=os.path.dirname(LAMBDA) and
+               os.path.abspath(os.path.join(LAMBDA, "..", "..")))
+    procs = [
+        subprocess.Popen([sys.executable, str(script), str(i), "2", "9917", LAMBDA],
+                         stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                         text=True, env=env)
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=240)
+        assert p.returncode == 0, out[-2000:]
+        outs.append(next(l for l in out.splitlines() if l.startswith("BRIDGES=")))
+    assert outs[0] == outs[1], "ranks disagree"
+
+    # equal to the single-process result
+    from telomeri_tpu.config import ScaffoldConfig
+    from telomeri_tpu.consensus.grouping import compress, group_and_select, summarize
+    from telomeri_tpu.pipeline import build_graph, load_inputs
+    from telomeri_tpu.walk.engine import run_walks_host
+    from telomeri_tpu.walk.plan import plan_walks
+
+    cfg = ScaffoldConfig(mc_walks_per_end=64, max_steps=24)
+    contigs, reads, paf = load_inputs(
+        f"{LAMBDA}/contigs.fa", f"{LAMBDA}/reads.fa",
+        f"{LAMBDA}/read2contig.paf", f"{LAMBDA}/read2read.paf")
+    edges, graph = build_graph(contigs, reads, paf, cfg)
+    plan = plan_walks(graph, cfg, n_shards=8)
+    walks = run_walks_host(graph, plan, cfg)
+    rows = compress(group_and_select(
+        summarize(walks, plan.uid), n_anchors=graph.n_anchors,
+        group_window=cfg.group_window, min_support=cfg.min_group_support))
+    assert outs[0] == "BRIDGES=" + repr(rows)
