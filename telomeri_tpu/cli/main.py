@@ -64,6 +64,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="write a jax.profiler trace of the device phase to DIR")
     _add_config_flags(s)
 
+    t = sub.add_parser("stats", help="print assembly stats (N50 etc.) for FASTA/FASTQ files")
+    t.add_argument("fastx", nargs="+", help="FASTA/FASTQ files (.gz ok)")
+
     g = sub.add_parser("simulate", help="generate a synthetic test dataset")
     g.add_argument("--out", required=True, help="output directory")
     from telomeri_tpu.sim import PRESETS, SimConfig
@@ -86,6 +89,16 @@ def main(argv: list[str] | None = None) -> int:
         import jax
 
         jax.config.update("jax_platforms", platform)
+
+    if args.cmd == "stats":
+        import json
+
+        from telomeri_tpu.io.fasta import read_fasta
+        from telomeri_tpu.utils.stats import assembly_stats
+
+        out = {p: assembly_stats(read_fasta(p).lengths) for p in args.fastx}
+        print(json.dumps(out, indent=2, sort_keys=True))
+        return 0
 
     if args.cmd == "simulate":
         from telomeri_tpu.sim import PRESETS, SimConfig, simulate, write_dataset

@@ -79,11 +79,14 @@ class ScaffoldConfig:
             v = getattr(self, f)
             if not 0.0 <= v <= 10.0:
                 raise ValueError(f"{f}={v} out of range")
-        for f in ("min_overlap", "max_overhang", "max_degree", "mc_walks_per_end",
-                  "max_steps", "group_window", "min_group_support",
-                  "walk_batch_multiple"):
+        for f in ("min_overlap", "max_overhang", "mc_walks_per_end"):
             if getattr(self, f) < 0:
                 raise ValueError(f"{f} must be >= 0")
+        # structurally positive: zero breaks padding/bucketing/argmax downstream
+        for f in ("max_degree", "max_steps", "group_window", "min_group_support",
+                  "walk_batch_multiple"):
+            if getattr(self, f) < 1:
+                raise ValueError(f"{f} must be >= 1")
 
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self), indent=2, sort_keys=True)

@@ -38,10 +38,21 @@ WALK_AXIS = "walks"
 
 
 def init_distributed(**kwargs) -> None:
-    """Multi-host process init (no-op when single-process)."""
-    if jax.process_count() == 1 and not kwargs:
-        return
-    jax.distributed.initialize(**kwargs)
+    """Multi-host process init.
+
+    With kwargs (coordinator_address/num_processes/process_id) initializes exactly as
+    asked. Without kwargs, attempts auto-detection (TPU pod metadata, SLURM, etc.) and
+    quietly stays single-process when no cluster environment exists. NOTE: do not
+    probe jax.process_count() first — it initializes the local backend and always
+    reports 1 before jax.distributed.initialize() has run."""
+    from telomeri_tpu.utils.logging import log
+
+    try:
+        jax.distributed.initialize(**kwargs)
+    except Exception as e:  # no cluster env detected / already initialized
+        if kwargs:
+            raise
+        log.info("jax.distributed not initialized (%s); single-process mode", e)
 
 
 def make_walk_mesh(n_devices: int | None = None, devices=None) -> Mesh:
@@ -105,3 +116,19 @@ def run_walks_distributed(
         summary, n_anchors=n_anchors, group_window=cfg.group_window,
         min_support=cfg.min_group_support)
     return res, cons
+
+
+def fetch_walk_rows(res: WalkResult, rows: np.ndarray, mesh: Mesh) -> WalkResult:
+    """Gather specific walk-record rows out of a walk-sharded WalkResult into
+    replicated host numpy (every process gets them).
+
+    In a multi-process run the sharded records are NOT host-addressable, so the
+    stitcher cannot np.asarray() them; only the representative walks are needed, so
+    gather exactly those rows on device (XLA emits the cross-host collective) and
+    replicate the tiny result."""
+    idx = jax.device_put(np.asarray(rows, np.int32), replicated(mesh))
+    take = jax.jit(
+        lambda r, i: jax.tree.map(lambda a: a[i], r),
+        out_shardings=jax.tree.map(lambda _: replicated(mesh), res),
+    )
+    return WalkResult(*[np.asarray(a) for a in take(res, idx)])

@@ -8,14 +8,17 @@ Layout:
   - N = 2 * n_seqs oriented nodes (see io/geometry.py for the node encoding).
   - Row r of each (N, K) table lists node r's out-edges, sorted by (ES desc, dst asc,
     edge-index asc) — the sort IS the greedy tie-break rule (documented, deterministic).
-  - Rows longer than K keep the top-K by that order (K = cfg.max_degree); the truncation
-    count is reported so configs can size K.
+  - The row width K is DATA-DEPENDENT: the observed max out-degree rounded up to a
+    multiple of 8, capped at cfg.max_degree (per-step walk gather traffic is O(K), so
+    narrower tables are faster). Rows longer than K keep the top-K by the sort order;
+    the truncation count is reported so configs can size the cap.
   - Pad entries have nbr == -1, scores 0, adv 0.
   - Anchor test is id-arithmetic: node v is an anchor iff v < 2 * n_anchors (contigs are
     sequence ids [0, n_anchors)).
 
-Degree bucketing (SURVEY.md §7 "ragged -> fixed shapes") is a planned optimisation; the
-uniform-K layout is the v1 and its HBM cost is n_nodes * K * 20 bytes.
+Degree bucketing (SURVEY.md §7 "ragged -> fixed shapes") remains a possible refinement
+for extremely skewed graphs; the auto-sized uniform-K layout costs n_nodes * K * 20
+bytes of HBM with K as defined above.
 """
 
 from __future__ import annotations
@@ -71,7 +74,6 @@ def tensorize(
 ) -> GraphTensors:
     n_seqs = len(seq_len)
     n_nodes = 2 * n_seqs
-    k = cfg.max_degree
 
     # Deterministic row order: (src asc, es desc, dst asc, edge idx asc).
     # np.lexsort is stable; keys listed minor->major.
@@ -80,6 +82,10 @@ def tensorize(
     src = edges.src[order].astype(np.int64)
 
     deg_full = np.bincount(src, minlength=n_nodes)
+    # auto-size the row width to the observed degree (multiple of 8 for sublane
+    # alignment), capped at cfg.max_degree: per-step walk gather traffic is O(K)
+    max_deg = int(deg_full.max()) if n_nodes else 0
+    k = min(cfg.max_degree, max(8, -(-max_deg // 8) * 8))
     # rank of each edge within its row
     row_start = np.zeros(n_nodes + 1, dtype=np.int64)
     np.cumsum(deg_full, out=row_start[1:])

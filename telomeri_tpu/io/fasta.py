@@ -92,6 +92,14 @@ def read_fasta(path: str) -> SequenceSet:
 read_fastx = read_fasta  # alias; format is auto-detected
 
 
+def _header_name(line: bytes, what: str) -> str:
+    """First whitespace-delimited token after the marker byte; empty -> error."""
+    toks = line[1:].split()
+    if not toks:
+        raise ValueError(f"{what} header with empty sequence name: {line[:30]!r}")
+    return toks[0].decode()
+
+
 def _parse_fasta(data: bytes) -> SequenceSet:
     names: list[str] = []
     seqs: list[np.ndarray] = []
@@ -103,7 +111,7 @@ def _parse_fasta(data: bytes) -> SequenceSet:
         if line.startswith(b">"):
             if names:
                 seqs.append(np.frombuffer(b"".join(chunks), dtype=np.uint8))
-            names.append(line[1:].split()[0].decode())
+            names.append(_header_name(line, "FASTA"))
             chunks = []
         else:
             chunks.append(line)
@@ -125,7 +133,10 @@ def _parse_fastq(data: bytes) -> SequenceSet:
             continue
         if not line.startswith(b"@"):
             raise ValueError(f"FASTQ record {len(names)}: expected '@', got {line[:20]!r}")
-        names.append(line[1:].split()[0].decode())
+        if i + 1 >= n:
+            raise ValueError(f"FASTQ record {len(names)}: truncated (header "
+                             f"{line[:30]!r} has no sequence line)")
+        names.append(_header_name(line, "FASTQ"))
         seqs.append(np.frombuffer(lines[i + 1].rstrip(b"\r"), dtype=np.uint8))
         # lines[i+2] is '+', lines[i+3] is quality — both ignored
         i += 4

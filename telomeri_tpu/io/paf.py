@@ -78,7 +78,8 @@ def parse_paf(path: str, name_index: dict[str, int], strict: bool = True) -> Paf
     keep = (qid >= 0) & (tid >= 0)
     if strict and not keep.all():
         bad = int((~keep).sum())
-        name = qnames[int(np.flatnonzero(~keep)[0])]
+        i = int(np.flatnonzero(~keep)[0])
+        name = qnames[i] if qid[i] < 0 else tnames[i]  # name the actual offender
         raise KeyError(f"{path}: {bad} PAF rows name unknown sequences (e.g. {name!r})")
     if not keep.all():
         ints = ints[keep]

@@ -187,6 +187,11 @@ struct FastxFile {
     int64_t nseqs = 0;
 };
 
+const char* skip_ws(const char* b, const char* e) {
+    while (b < e && (*b == ' ' || *b == '\t')) ++b;
+    return b;
+}
+
 const char* first_token_end(const char* b, const char* e) {
     while (b < e && *b != ' ' && *b != '\t') ++b;
     return b;
@@ -212,8 +217,15 @@ void parse_fastx_buffer(FastxFile* ff, const char* data, size_t size,
                     if (in_seq) {
                         ff->seq_off.push_back(static_cast<int64_t>(ff->seqs.size()));
                     }
-                    const char* ne = first_token_end(p + 1, le);
-                    ff->names.append(p + 1, ne - (p + 1));
+                    const char* nb = skip_ws(p + 1, le);
+                    const char* ne = first_token_end(nb, le);
+                    if (ne == nb) {
+                        snprintf(msg, sizeof msg,
+                                 "%s: FASTA header with empty sequence name", path);
+                        ff->error = msg;
+                        return;
+                    }
+                    ff->names.append(nb, ne - nb);
                     ff->name_off.push_back(static_cast<int64_t>(ff->names.size()));
                     ++ff->nseqs;
                     in_seq = true;
@@ -243,10 +255,24 @@ void parse_fastx_buffer(FastxFile* ff, const char* data, size_t size,
                 ff->error = msg;
                 return;
             }
-            const char* ne = first_token_end(p + 1, le);
-            ff->names.append(p + 1, ne - (p + 1));
+            const char* nb = skip_ws(p + 1, le);
+            const char* ne = first_token_end(nb, le);
+            if (ne == nb) {
+                snprintf(msg, sizeof msg,
+                         "%s: FASTQ header with empty sequence name", path);
+                ff->error = msg;
+                return;
+            }
+            ff->names.append(nb, ne - nb);
             ff->name_off.push_back(static_cast<int64_t>(ff->names.size()));
             p = nl ? nl + 1 : end;
+            if (p >= end) {
+                snprintf(msg, sizeof msg,
+                         "%s: FASTQ record %lld: truncated (header has no sequence "
+                         "line)", path, static_cast<long long>(ff->nseqs));
+                ff->error = msg;
+                return;
+            }
             // sequence
             nl = static_cast<const char*>(memchr(p, '\n', end - p));
             le = nl ? nl : end;

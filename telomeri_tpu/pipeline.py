@@ -139,8 +139,10 @@ def run_pipeline(
             from telomeri_tpu.dist.mesh import run_walks_distributed
 
             with metrics.stage("run_walks"), maybe_trace(trace_dir):
+                # records stay device-resident and walk-sharded: in a multi-process
+                # run they are not host-addressable; the stitch stage fetches only
+                # the representative rows (dist.fetch_walk_rows)
                 walks, cons = run_walks_distributed(graph, plan, cfg, mesh)
-                walks = walks.to_numpy()
             with metrics.stage("consensus"):
                 bridges = compress(cons)
         else:
@@ -153,9 +155,17 @@ def run_pipeline(
                     group_window=cfg.group_window, min_support=cfg.min_group_support)
                 bridges = compress(cons)
         if save_walks_path:
-            with metrics.stage("save_walks_artifact"):
-                save_walks(save_walks_path, plan, walks, cfg)
-    n_succ = int(np.asarray(walks.success).sum())
+            import jax
+
+            if mesh is not None and jax.process_count() > 1:
+                log.warning("--save-walks skipped: records are sharded across "
+                            "processes; rerun single-process to save them")
+            else:
+                with metrics.stage("save_walks_artifact"):
+                    save_walks(save_walks_path, plan, walks, cfg)
+    import jax.numpy as jnp
+
+    n_succ = int(np.asarray(jnp.sum(walks.success)))  # works on sharded records too
     metrics.set("n_walks_successful", n_succ)
     log.info("walks: %d planned, %d successful", plan.n_active, n_succ)
     metrics.set("n_bridges_candidate", len(bridges))
@@ -166,15 +176,25 @@ def run_pipeline(
     log.info("bridges: %d candidates, %d accepted", len(bridges), len(accepted))
 
     with metrics.stage("stitch"):
-        wn = np.asarray(walks.nodes)
-        we = np.asarray(walks.eids)
-        ws = np.asarray(walks.steps)
         lut = plan.uid_to_row()
-        paths = {
-            b.rep_uid: extract_path(
-                wn[lut[b.rep_uid]], we[lut[b.rep_uid]], int(ws[lut[b.rep_uid]]))
-            for b in accepted
-        }
+        rep_uids = [b.rep_uid for b in accepted]
+        if mesh is not None:
+            from telomeri_tpu.dist.mesh import fetch_walk_rows
+
+            mini = fetch_walk_rows(
+                walks, np.array([lut[u] for u in rep_uids], np.int64), mesh)
+            paths = {
+                u: extract_path(mini.nodes[i], mini.eids[i], int(mini.steps[i]))
+                for i, u in enumerate(rep_uids)
+            }
+        else:
+            wn = np.asarray(walks.nodes)
+            we = np.asarray(walks.eids)
+            ws = np.asarray(walks.steps)
+            paths = {
+                u: extract_path(wn[lut[u]], we[lut[u]], int(ws[lut[u]]))
+                for u in rep_uids
+            }
         stitcher = Stitcher(contigs, reads, edges)
         scaffolds = emit_scaffolds(accepted, paths, stitcher)
     metrics.set("n_scaffolds", len(scaffolds))

@@ -78,3 +78,24 @@ def test_paf_bad_row(tmp_path):
     p.write_text("r1\t100\t5\n")
     with pytest.raises(ValueError):
         parse_paf(str(p), {})
+
+
+def test_fasta_empty_name_error(tmp_path):
+    p = tmp_path / "e.fa"
+    p.write_bytes(b">\nACGT\n")
+    with pytest.raises(ValueError, match="empty sequence name"):
+        read_fasta(str(p))
+
+
+def test_fasta_header_leading_whitespace(tmp_path):
+    p = tmp_path / "w.fa"
+    p.write_bytes(b"> seq1 desc\nAC\n> seq2\nGT\n")
+    got = read_fasta(str(p))
+    assert got.names == ["seq1", "seq2"]
+
+
+def test_fastq_truncated_record(tmp_path):
+    p = tmp_path / "t.fq"
+    p.write_bytes(b"@r1\nACGT\n+\nIIII\n@r2")
+    with pytest.raises(ValueError, match="truncated"):
+        read_fasta(str(p))

@@ -35,14 +35,23 @@ print("BRIDGES=" + repr(compress(cons)), flush=True)
 LAMBDA = os.path.join(os.path.dirname(__file__), "..", "testdata", "lambda")
 
 
+def _free_port() -> int:
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
 @pytest.mark.slow
 def test_two_process_multihost(tmp_path):
     script = tmp_path / "worker.py"
     script.write_text(WORKER)
     env = dict(os.environ, PYTHONPATH=os.path.dirname(LAMBDA) and
                os.path.abspath(os.path.join(LAMBDA, "..", "..")))
+    port = str(_free_port())
     procs = [
-        subprocess.Popen([sys.executable, str(script), str(i), "2", "9917", LAMBDA],
+        subprocess.Popen([sys.executable, str(script), str(i), "2", port, LAMBDA],
                          stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
                          text=True, env=env)
         for i in range(2)

@@ -99,3 +99,21 @@ def test_native_fastx_bad_first_byte(tmp_path):
     p.write_text("hello")
     with pytest.raises(ValueError, match="not FASTA/FASTQ"):
         paf_native.parse_fastx(str(p))
+
+
+def test_native_fastx_empty_name_and_truncated(tmp_path):
+    p = tmp_path / "e.fa"
+    p.write_bytes(b">\nACGT\n")
+    with pytest.raises(ValueError, match="empty sequence name"):
+        paf_native.parse_fastx(str(p))
+    q = tmp_path / "t.fq"
+    q.write_bytes(b"@r1\nACGT\n+\nIIII\n@r2")
+    with pytest.raises(ValueError, match="truncated"):
+        paf_native.parse_fastx(str(q))
+
+
+def test_native_fastx_header_whitespace(tmp_path):
+    p = tmp_path / "w.fa"
+    p.write_bytes(b"> seq1 desc\nAC\n> seq2\nGT\n")
+    names, seqs = paf_native.parse_fastx(str(p))
+    assert names == ["seq1", "seq2"]

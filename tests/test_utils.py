@@ -40,3 +40,14 @@ def test_gzip_paf(tmp_path):
         f.write(b"r1\t100\t5\t95\t+\tc1\t500\t400\t490\t85\t90\t255\n")
     rec = parse_paf(str(p), {"r1": 1, "c1": 0})
     assert len(rec) == 1 and rec.tend[0] == 490
+
+
+def test_config_rejects_zero_structurals():
+    import pytest
+
+    from telomeri_tpu.config import ScaffoldConfig
+
+    for f in ("max_degree", "max_steps", "group_window", "walk_batch_multiple"):
+        with pytest.raises(ValueError, match=f):
+            ScaffoldConfig(**{f: 0})
+    ScaffoldConfig(mc_walks_per_end=0)  # legitimate: greedy-only run
