@@ -56,6 +56,12 @@ class GraphTensors:
     # gather instead of per-step (W, K) gathers — see walk/engine.py)
     edge_es: np.ndarray = None
     edge_adv: np.ndarray = None
+    # static per-row Monte-Carlo sampling structure (see walk/engine.py mc_weights):
+    # cumw[v, j] = sum of integer weights of row v's slots 0..j; wtotal[v] = cumw[v,-1].
+    # Static because MC samples the FULL row and kills on revisit (cycle kill),
+    # so the per-step distribution never changes.
+    cumw: np.ndarray = None      # (N, K) int32
+    wtotal: np.ndarray = None    # (N,) int32
 
     @property
     def n_nodes(self) -> int:
@@ -107,6 +113,12 @@ def tensorize(
     adv[r, c] = edges.adv[sel]
     eid[r, c] = sel.astype(np.int32)
 
+    from telomeri_tpu.walk.engine import mc_weights
+
+    cumw = np.cumsum(mc_weights(es), axis=1, dtype=np.int64)
+    if cumw.size and cumw.max() >= np.iinfo(np.int32).max:
+        raise ValueError("MC weight cumsum overflows int32; lower max_degree or scores")
+    cumw = cumw.astype(np.int32)
     return GraphTensors(
         nbr=nbr, es=es, os_=os_, adv=adv, eid=eid,
         deg=np.minimum(deg_full, k).astype(np.int32),
@@ -115,6 +127,8 @@ def tensorize(
         n_truncated_edges=n_trunc,
         edge_es=np.asarray(edges.es, np.float32),
         edge_adv=np.asarray(edges.adv, np.int32),
+        cumw=cumw,
+        wtotal=(cumw[:, -1] if cumw.size else np.zeros(n_nodes, np.int32)).astype(np.int32),
         stats={
             "n_nodes": n_nodes,
             "n_edges": len(edges),

@@ -17,19 +17,19 @@ Performance structure (profiled on TPU v5e — see BASELINE.md):
 
 Semantics (deterministic, documented — SURVEY.md §7 "bit-identical" hard part):
   - A walk starts at an oriented anchor node and repeatedly selects an out-edge.
-  - Candidate mask: CSR slot non-pad AND destination not already on this walk's path
-    (cycle kill, SURVEY.md §3 row 10; the start anchor is on the path, so walks cannot
-    re-enter their own start).
-  - mode 0 / 1 (greedy by OS / ES): pick the max-score candidate; ties resolve to the
-    lowest CSR slot, and CSR rows are pre-sorted by (ES desc, dst asc), which fixes the
-    tie-break globally.
-  - mode 2 (Monte-Carlo): pick candidate j with probability w_j / sum(w), where
-    w = mc_weights(ES) (integer ceil(ES) weights, 0 for ES <= 0), sampled by integer
-    inverse-CDF — exact int32 cumsum, one 32-bit draw per walk per step. A walk with
-    no positive-weight candidate dies. The draw uses the walk's OWN stream:
-    fold_in(fold_in(key(seed), uid), step) — invariant to batch size, padding,
-    sharding, and host count (SURVEY.md §5 item 3), and bit-reproducible across
-    backends (integer cumsum has no rounding).
+  - mode 0 / 1 (greedy by OS / ES): candidates are non-pad slots whose destination is
+    not already on this walk's path (greedy REROUTES around its history); pick the
+    max-score candidate; ties resolve to the lowest CSR slot, and CSR rows are
+    pre-sorted by (ES desc, dst asc), which fixes the tie-break globally.
+  - mode 2 (Monte-Carlo): pick slot j with probability w_j / sum(w) over the FULL row,
+    where w = mc_weights(ES) (integer ceil(ES) weights, 0 for ES <= 0 and pads),
+    sampled by integer inverse-CDF against the PRECOMPUTED row cumsum (branchless
+    binary search, ceil(log2 K) single-element gathers — no (W, K) row traffic). A
+    draw landing on an already-visited destination KILLS the walk (HERA cycle kill,
+    SURVEY.md §3 row 10); a walk with no positive-weight candidate dies. The draw
+    uses the walk's OWN stream: fold_in(fold_in(key(seed), uid), step) — invariant to
+    batch size, padding, sharding, and host count (SURVEY.md §5 item 3), and
+    bit-reproducible across backends (integer arithmetic has no rounding).
   - Step 0 honours plan.first_edge (deterministic first-edge enumeration); an invalid
     forced slot kills the walk.
   - A walk succeeds when it steps onto another anchor node (id < 2 * n_anchors); it
@@ -58,7 +58,8 @@ class GraphDev(NamedTuple):
     """Device-resident CSR tables (see graph/tensorize.py for layout)."""
 
     nbr: jax.Array       # (N, K) int32
-    es_int: jax.Array    # (N, K) int32 MC sampling weights (see mc_weights)
+    cumw: jax.Array      # (N, K) int32 static per-row MC weight cumsum
+    wtotal: jax.Array    # (N,) int32 row weight totals
     os_: jax.Array       # (N, K) f32
     eid: jax.Array       # (N, K) int32
     edge_es: jax.Array   # (E,) f32  per-edge ES (post-scan reconstruction)
@@ -113,11 +114,21 @@ def _edge_arrays(g: GraphTensors) -> tuple[np.ndarray, np.ndarray]:
     return edge_es, edge_adv
 
 
+def _cum_arrays(g: GraphTensors) -> tuple[np.ndarray, np.ndarray]:
+    if g.cumw is not None:
+        return g.cumw, g.wtotal
+    cumw = np.cumsum(mc_weights(g.es), axis=1, dtype=np.int64).astype(np.int32)
+    total = cumw[:, -1] if cumw.size else np.zeros(g.nbr.shape[0], np.int32)
+    return cumw, total.astype(np.int32)
+
+
 def graph_to_device(g: GraphTensors, sharding=None) -> GraphDev:
     put = (lambda a: jax.device_put(a, sharding)) if sharding is not None else jax.device_put
     edge_es, edge_adv = _edge_arrays(g)
-    return GraphDev(nbr=put(g.nbr), es_int=put(mc_weights(g.es)), os_=put(g.os_),
-                    eid=put(g.eid), edge_es=put(edge_es), edge_adv=put(edge_adv))
+    cumw, wtotal = _cum_arrays(g)
+    return GraphDev(nbr=put(g.nbr), cumw=put(cumw), wtotal=put(wtotal),
+                    os_=put(g.os_), eid=put(g.eid), edge_es=put(edge_es),
+                    edge_adv=put(edge_adv))
 
 
 def plan_to_device(p: WalkPlan, sharding=None) -> PlanDev:
@@ -158,16 +169,19 @@ def _run_walks_kind(
         visited=visited0,
     )
 
+    nbr_flat = g.nbr.reshape(-1)
+    cum_flat = g.cumw.reshape(-1)
+
     def step(carry, s):
         cur = carry["cur"]
-        nbr = g.nbr[cur]          # (W, K)
-
-        valid = nbr >= 0
-        # cycle kill: destination may not already be on the path
-        revisit = (nbr[:, :, None] == carry["visited"][:, None, :]).any(-1)
-        valid &= ~revisit
 
         if use_greedy:
+            # greedy candidates exclude pads and already-visited destinations
+            # (greedy REROUTES around its path; MC below kills instead)
+            nbr_rows = g.nbr[cur]                       # (W, K)
+            valid = nbr_rows >= 0
+            revisit = (nbr_rows[:, :, None] == carry["visited"][:, None, :]).any(-1)
+            valid &= ~revisit
             # greedy-ES: rows are ES-sorted, so the best candidate is the FIRST valid
             # slot; greedy-OS needs a masked argmax over OS. Merge: argmax over a
             # (W, K) key that is OS for mode-0 walks and a descending ramp otherwise.
@@ -179,28 +193,39 @@ def _run_walks_kind(
             greedy_dead = ~valid.any(axis=1)
 
         if use_mc:
-            # Monte-Carlo: prob ∝ weight (mc_weights: ceil(ES) for ES > 0) via
-            # integer inverse-CDF: exact int32 cumsum + one 32-bit draw per walk.
-            # r = bits % total has modulo bias <= total / 2^31 (< 0.01% on real
-            # rows) — documented, deterministic, replicated bit-for-bit by the
-            # oracle. First slot with cum > r is the sample; zero-weight slots
-            # never advance cum so they are unreachable.
-            wq = jnp.where(valid, g.es_int[cur], 0)
-            cum = jnp.cumsum(wq, axis=1)
-            total = cum[:, -1]
+            # Monte-Carlo: prob ∝ weight (mc_weights) over the STATIC row
+            # distribution, sampled by integer inverse-CDF with a branchless binary
+            # search over the precomputed row cumsum — ceil(log2 K) single-element
+            # gathers per walk instead of a (W, K) row gather. A draw landing on an
+            # already-visited destination KILLS the walk (cycle kill, SURVEY.md §3
+            # row 10) rather than rerouting. r = bits % total has modulo bias
+            # <= total / 2^31 (< 0.01% on real rows) — deterministic, replicated
+            # bit-for-bit by the oracle.
+            total = g.wtotal[cur]
             step_keys = jax.vmap(lambda kk: jax.random.fold_in(kk, s))(walk_keys)
             bits = jax.vmap(lambda kk: jax.random.bits(kk, dtype=jnp.uint32))(step_keys)
             r = (bits & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32) % jnp.maximum(total, 1)
-            mc_choice = jnp.argmax(cum > r[:, None], axis=1).astype(jnp.int32)
+            base = cur * k
+            lo = jnp.zeros_like(cur)
+            sz = k
+            while sz > 1:  # static unroll: branchless lower_bound (first cum > r)
+                half = sz // 2
+                c = cum_flat[base + lo + (half - 1)]
+                lo = jnp.where(c <= r, lo + half, lo)
+                sz -= half
+            mc_choice = lo.astype(jnp.int32)
             mc_dead = total <= 0
 
         if kind == "mc":
             choice, dead = mc_choice, mc_dead
+            nxt = nbr_flat[base + choice]
         elif kind == "greedy":
             choice, dead = greedy_choice, greedy_dead
+            nxt = jnp.take_along_axis(nbr_rows, choice[:, None], 1)[:, 0]
         else:
             choice = jnp.where(is_mc, mc_choice, greedy_choice)
             dead = jnp.where(is_mc, mc_dead, greedy_dead)
+            nxt = jnp.take_along_axis(nbr_rows, choice[:, None], 1)[:, 0]
 
         if use_greedy:
             # deterministic first-edge enumeration (MC plans always have -1)
@@ -208,8 +233,18 @@ def _run_walks_kind(
             choice = jnp.where(forced, p.first_edge, choice)
             chosen_valid = jnp.take_along_axis(valid, choice[:, None], 1)[:, 0]
             dead = jnp.where(forced, ~chosen_valid, dead)
+            nxt = jnp.where(forced,
+                            jnp.take_along_axis(nbr_rows, choice[:, None], 1)[:, 0],
+                            nxt)
 
-        nxt = jnp.take_along_axis(nbr, choice[:, None], 1)[:, 0]
+        if use_mc:
+            # MC cycle kill: chosen destination already on the path
+            mc_revisit = (nxt[:, None] == carry["visited"]).any(-1)
+            if kind == "mixed":
+                dead = dead | (mc_revisit & is_mc)
+            else:
+                dead = dead | mc_revisit
+
         stepping = ~carry["done"] & ~dead
         hit_anchor = stepping & (nxt < anchor_lim)
 

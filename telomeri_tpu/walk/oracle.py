@@ -42,13 +42,13 @@ def jax_choice_fn(seed: int):
     base = jax.random.key(seed)
     cache: dict[int, object] = {}
 
-    def fn(uid: int, step: int, wts: np.ndarray) -> int:
+    def fn(uid: int, step: int, row_es: np.ndarray) -> int:
         from telomeri_tpu.walk.engine import mc_weights
 
         wk = cache.get(uid)
         if wk is None:
             wk = cache[uid] = jax.random.fold_in(base, uid)
-        wq = mc_weights(wts).astype(np.int64)
+        wq = mc_weights(row_es).astype(np.int64)   # FULL static row, like the engine
         cum = np.cumsum(wq)
         total = int(cum[-1])
         if total <= 0:
@@ -111,12 +111,10 @@ def walk_oracle(
             if not valid[choice]:
                 break
         elif mode == MODE_MC:
-            wts = np.where(
-                np.array(valid) & (row_es > 0), row_es, np.float32(0.0)
-            ).astype(np.float32)
-            if not (wts > 0).any():
+            # sample the FULL static row distribution; revisits kill below
+            choice = choice_fn(uid, s, np.asarray(row_es, np.float32))
+            if choice < 0:
                 break
-            choice = choice_fn(uid, s, wts)
         else:
             key = row_os if mode == MODE_GREEDY_OS else row_es
             best, choice = -np.inf, -1
@@ -127,6 +125,8 @@ def walk_oracle(
                 break
 
         nxt = int(nbr[cur][choice])
+        if mode == MODE_MC and nxt in path:
+            break  # MC cycle kill: sampled an already-visited destination
         plen += int(adv[cur][choice])
         score = np.float32(score + es[cur][choice])
         path.append(nxt)
