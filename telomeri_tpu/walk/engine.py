@@ -316,6 +316,11 @@ def run_walks_sectioned(
         pd = plan_to_device(_slice_plan(plan, lo, hi), sharding)
         parts.append(_run_walks_kind(
             g, pd, seed, n_anchors=n_anchors, max_steps=max_steps, kind=kind))
+    if not parts:  # graph with no walkable anchor ends
+        z = lambda *shape: jnp.zeros(shape, jnp.int32)
+        return WalkResult(nodes=z(0, max_steps + 1), eids=z(0, max_steps),
+                          steps=z(0), success=jnp.zeros(0, bool), terminal=z(0),
+                          path_len=z(0), score_sum=jnp.zeros(0, jnp.float32))
     if len(parts) == 1:
         return parts[0]
     return WalkResult(*[jnp.concatenate(a, axis=0) for a in zip(*parts)])

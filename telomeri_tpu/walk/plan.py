@@ -85,7 +85,9 @@ def plan_walks(g: GraphTensors, cfg: ScaffoldConfig, n_shards: int = 1) -> WalkP
     m_mode = np.full(n_mc, MODE_MC, np.int64)
 
     def pad_len(n):
-        return max(((n + m - 1) // m) * m, m)
+        if n == 0:
+            return 0  # empty section: no padded ghost scan
+        return ((n + m - 1) // m) * m
 
     gp, mp = pad_len(n_greedy), pad_len(n_mc)
     pad_uid = n_greedy + n_mc

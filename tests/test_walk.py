@@ -206,3 +206,26 @@ def test_fast_choice_fn_valid():
     for s in range(20):
         c = fn(0, s, w)
         assert c in (1, 3)
+
+
+def test_greedy_only_plan_no_mc_section():
+    g = chain_graph()
+    cfg = ScaffoldConfig(mc_walks_per_end=0, walk_batch_multiple=8)
+    p = plan_walks(g, cfg)
+    lo, hi = p.sections["mc"]
+    assert lo == hi  # empty MC section: no ghost scan
+    from telomeri_tpu.walk.engine import graph_to_device, run_walks_sectioned
+    r = run_walks_sectioned(graph_to_device(g), p, 0, n_anchors=g.n_anchors,
+                            max_steps=8).to_numpy()
+    assert r.success.any()
+
+
+def test_no_anchor_ends_empty_result():
+    # anchors exist but have zero out-degree
+    g = mk_graph(6, 2, 2, {4: [(5, 1.0, 1.0, 10)]})
+    cfg = ScaffoldConfig(mc_walks_per_end=4)
+    p = plan_walks(g, cfg)
+    from telomeri_tpu.walk.engine import graph_to_device, run_walks_sectioned
+    r = run_walks_sectioned(graph_to_device(g), p, 0, n_anchors=g.n_anchors,
+                            max_steps=8).to_numpy()
+    assert len(r.steps) == 0
