@@ -131,6 +131,33 @@ def bench_scoring(edges, repeats: int):
     return ops
 
 
+def bench_scaling(cfg, graph, plan_builder, repeats: int):
+    """Optional multi-device scaling sweep (BENCH_SCALING=1): only meaningful when
+    more than one real device exists (this container has one chip; the virtual CPU
+    mesh oversubscribes 2 cores and measures nothing — BASELINE.md)."""
+    import jax
+
+    from telomeri_tpu.dist.mesh import make_walk_mesh, run_walks_distributed
+    from telomeri_tpu.walk.plan import plan_walks
+
+    n_dev = len(jax.devices())
+    if n_dev < 2:
+        log(f"scaling: only {n_dev} device, skipping")
+        return
+    import jax.numpy as jnp
+
+    for n in [d for d in (1, 2, 4, 8, 16, 32) if d <= n_dev]:
+        mesh = make_walk_mesh(n)
+        plan = plan_walks(graph, cfg, n_shards=n)
+        res, _ = run_walks_distributed(graph, plan, cfg, mesh)
+        _ = int(np.asarray(jnp.sum(res.steps)))
+        t0 = time.perf_counter()
+        rs = [run_walks_distributed(graph, plan, cfg, mesh)[0] for _ in range(repeats)]
+        _ = int(np.asarray(jnp.sum(rs[-1].steps)))
+        dt = (time.perf_counter() - t0) / repeats
+        log(f"scaling {n} devices: {plan.n_active/dt:,.0f} walks/s")
+
+
 def main():
     os.makedirs("/root/repo/.jax_cache", exist_ok=True)
     import jax
@@ -143,6 +170,8 @@ def main():
 
     cfg, edges, graph, plan = build_problem(mc)
     walks_per_s = bench_walks(cfg, graph, plan, repeats)
+    if os.environ.get("BENCH_SCALING"):
+        bench_scaling(cfg, graph, None, repeats)
     oracle_per_s = bench_oracle(cfg, graph, plan)
     try:
         bench_scoring(edges, repeats)

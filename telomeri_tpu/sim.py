@@ -86,7 +86,11 @@ def simulate(cfg: SimConfig) -> SimData:
     # Plant exact repeat copies, evenly spaced, away from the genome ends.
     repeat = BASES[rng.integers(0, 4, cfg.repeat_len)]
     n_cop = cfg.n_repeat_copies
-    gap = (cfg.genome_len - 2 * cfg.repeat_len) // (n_cop + 1)
+    gap = (cfg.genome_len - n_cop * cfg.repeat_len) // (n_cop + 1)
+    if gap <= cfg.read_len_mean:
+        raise ValueError(
+            f"genome too small: unique gap {gap} <= mean read length "
+            f"{cfg.read_len_mean}; increase genome_len or reduce copies")
     starts = [gap * (i + 1) + cfg.repeat_len * i for i in range(n_cop)]
     for s in starts:
         genome[s : s + cfg.repeat_len] = repeat
