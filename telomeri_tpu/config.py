@@ -59,6 +59,12 @@ class ScaffoldConfig:
     # results stay deterministic (kernels/scoring.py precision note).
     device_scoring: str = "auto"
 
+    # --- host ingest ---
+    # lazy mmap-backed sequence store: "auto" for plain files >= 1 GiB, "on"/"off"
+    # force it. Element-identical to the eager parser; fixes host RAM at
+    # whole-genome scale (docs/ARCHITECTURE.md memory budget).
+    lazy_sequences: str = "auto"
+
     # --- path generation ---
     mc_walks_per_end: int = 100    # Monte-Carlo repetitions per anchor end
     max_steps: int = 32            # fixed walk length bound (nodes beyond the start anchor)
@@ -75,6 +81,9 @@ class ScaffoldConfig:
         if self.device_scoring not in ("auto", "on", "off"):
             raise ValueError(
                 f"device_scoring must be auto/on/off, got {self.device_scoring!r}")
+        if self.lazy_sequences not in ("auto", "on", "off"):
+            raise ValueError(
+                f"lazy_sequences must be auto/on/off, got {self.lazy_sequences!r}")
         for f in ("min_identity", "max_overhang_ratio"):
             v = getattr(self, f)
             if not 0.0 <= v <= 10.0:

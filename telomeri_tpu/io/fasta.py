@@ -11,6 +11,7 @@ the single source of truth for semantics.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 import numpy as np
@@ -53,6 +54,125 @@ class SequenceSet:
         return len(self.names)
 
 
+class _LazySeqs:
+    """List-like lazy sequence accessor over an mmap'd file.
+
+    Each __getitem__ materializes ONE sequence: a zero-copy mmap view when the
+    record's bytes are contiguous (single-line FASTA/FASTQ — the common case for
+    long-read data), else a newline-stripped copy (multi-line FASTA). Nothing else
+    is resident, so a whole-genome read set costs index memory only
+    (docs/ARCHITECTURE.md "Memory budget at HG002 scale": the ~65 GB host-RAM
+    sequence store was the real constraint; stitching touches only the reads on
+    bridged paths)."""
+
+    def __init__(self, buf: np.ndarray, starts: np.ndarray, ends: np.ndarray,
+                 lengths: np.ndarray, mm) -> None:
+        self._buf = buf          # uint8 view of the mmap
+        self._starts = starts    # (n,) span start (first sequence byte)
+        self._ends = ends        # (n,) span end (exclusive, may include newlines)
+        self._lengths = lengths  # (n,) sequence length (newlines excluded)
+        self._mm = mm            # keep the mmap (and file) alive
+
+    def __len__(self) -> int:
+        return len(self._starts)
+
+    def __getitem__(self, i: int) -> np.ndarray:
+        s, e, n = self._starts[i], self._ends[i], self._lengths[i]
+        span = self._buf[s:e]
+        if e - s == n:
+            return span                       # zero-copy view
+        if e - s == n + 1 and span[-1] == 10:
+            return span[:-1]                  # zero-copy view (trailing newline)
+        return span[span != 10]               # multi-line: strip newlines (copy)
+
+
+class LazySequenceSet:
+    """SequenceSet-shaped lazy set (same attributes: names/seqs/lengths/index)."""
+
+    def __init__(self, names: list[str], seqs: _LazySeqs, lengths: np.ndarray) -> None:
+        self.names = names
+        self.seqs = seqs
+        self.lengths = lengths
+        self.index = {n: i for i, n in enumerate(names)}
+        if len(self.index) != len(names):
+            seen, dupes = set(), []
+            for n in names:
+                if n in seen:
+                    dupes.append(n)
+                seen.add(n)
+            raise ValueError(f"duplicate sequence names: {dupes[:5]}")
+
+    def __len__(self) -> int:
+        return len(self.names)
+
+
+def _read_lazy(path: str):
+    """mmap-index a plain (non-gz) FASTA/FASTQ without materializing sequences.
+
+    Returns a LazySequenceSet, or None when the file needs the eager parser
+    (CRLF line endings, blank interior lines, or FASTQ not in strict 4-line
+    records — all rare; correctness falls back, never degrades)."""
+    import mmap
+
+    f = open(path, "rb")
+    try:
+        if os.fstat(f.fileno()).st_size == 0:
+            f.close()
+            empty = np.empty(0, np.int64)
+            return LazySequenceSet(
+                [], _LazySeqs(np.empty(0, np.uint8), empty, empty, empty, None),
+                empty)
+        mm = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
+    except (ValueError, OSError):
+        f.close()
+        return None
+    buf = np.frombuffer(mm, dtype=np.uint8)
+    if (buf == 13).any():                     # CRLF: eager parser handles it
+        return None
+    nl = np.flatnonzero(buf == 10).astype(np.int64)
+    ends_with_nl = len(nl) > 0 and nl[-1] == len(buf) - 1
+    line_ends = nl if ends_with_nl else np.append(nl, len(buf))
+    line_starts = np.concatenate([[np.int64(0)], line_ends[:-1] + 1])
+    if (line_starts == line_ends).any():      # blank lines: eager parser
+        return None
+    first = buf[line_starts]
+    names: list[str]
+    if buf[0] == ord(">"):
+        hdr = np.flatnonzero(first == ord(">"))
+        names = [
+            _header_name(bytes(buf[line_starts[h]:line_ends[h]]), "FASTA")
+            for h in hdr]
+        # sequence span of record i: from the line after its header to the start
+        # of the next header line (or EOF)
+        starts = line_ends[hdr] + 1
+        rec_end_line = np.append(hdr[1:], len(line_starts))
+        ends = np.where(rec_end_line < len(line_starts),
+                        line_starts[np.minimum(rec_end_line, len(line_starts) - 1)],
+                        np.int64(len(buf)))
+        # newline count inside each span via positions of newlines
+        n_nl = np.searchsorted(nl, ends) - np.searchsorted(nl, starts)
+        lengths = (ends - starts) - n_nl
+        if (lengths < 0).any() or (starts > ends).any():
+            return None
+    elif buf[0] == ord("@"):
+        if len(line_starts) % 4 != 0:
+            return None                       # not strict 4-line FASTQ
+        hdr = np.arange(0, len(line_starts), 4)
+        if not (first[hdr] == ord("@")).all() or not (first[hdr + 2] == ord("+")).all():
+            return None
+        names = [
+            _header_name(bytes(buf[line_starts[h]:line_ends[h]]), "FASTQ")
+            for h in hdr]
+        starts = line_starts[hdr + 1]
+        ends = line_ends[hdr + 1]
+        lengths = ends - starts
+    else:
+        raise ValueError(f"{path}: not FASTA/FASTQ (first byte {bytes(buf[0:1])!r})")
+    return LazySequenceSet(
+        names, _LazySeqs(buf, starts, ends, lengths.astype(np.int64), mm),
+        lengths.astype(np.int64))
+
+
 def _read_bytes(path: str) -> bytes:
     """Read a file, transparently decompressing gzip (magic-byte detection)."""
     with open(path, "rb") as f:
@@ -66,13 +186,28 @@ def _read_bytes(path: str) -> bytes:
         return head + f.read()
 
 
-def read_fasta(path: str) -> SequenceSet:
+_LAZY_AUTO_BYTES = 1 << 30  # "auto" goes lazy at >= 1 GiB (whole-genome read sets)
+
+
+def read_fasta(path: str, lazy: str = "off") -> SequenceSet | LazySequenceSet:
     """Read FASTA or FASTQ, plain or .gz (both auto-detected). Multi-line FASTA ok.
+
+    lazy="on"/"auto"/"off" (ScaffoldConfig.lazy_sequences): "on" mmap-indexes the
+    file and materializes sequences one at a time on access (host-RAM fix for
+    whole-genome read sets — docs/ARCHITECTURE.md memory budget); "auto" does so
+    for plain files >= 1 GiB. Results are element-identical to the eager parser
+    (parity-tested); gzip/CRLF/irregular layouts silently fall back to eager.
 
     Plain files use the C++ fast parser when built (parity-tested); gzipped files
     and the no-library case fall back to this module's Python parser."""
     with open(path, "rb") as f:
         gzipped = f.read(2) == b"\x1f\x8b"
+    if not gzipped and (
+            lazy == "on"
+            or (lazy == "auto" and os.path.getsize(path) >= _LAZY_AUTO_BYTES)):
+        res = _read_lazy(path)
+        if res is not None:
+            return res
     if not gzipped:
         from telomeri_tpu.native import paf_native
 

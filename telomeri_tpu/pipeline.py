@@ -37,12 +37,12 @@ class PipelineResult:
 
 
 def load_inputs(contigs_path: str, reads_path: str, paf_rc_path: str, paf_rr_path: str,
-                metrics: Metrics | None = None):
+                metrics: Metrics | None = None, lazy: str = "auto"):
     """Host ingest: sequences + name table + concatenated PAF rows."""
     metrics = metrics or Metrics()
     with metrics.stage("load_sequences"):
-        contigs = read_fasta(contigs_path)
-        reads = read_fasta(reads_path)
+        contigs = read_fasta(contigs_path, lazy=lazy)
+        reads = read_fasta(reads_path, lazy=lazy)
     name_index = {n: i for i, n in enumerate(contigs.names)}
     for i, n in enumerate(reads.names):
         if n in name_index:
@@ -105,14 +105,15 @@ def run_pipeline(
     metrics = metrics or Metrics()
     if graph_artifact:
         with metrics.stage("load_sequences"):
-            contigs = read_fasta(contigs_path)
-            reads = read_fasta(reads_path)
+            contigs = read_fasta(contigs_path, lazy=cfg.lazy_sequences)
+            reads = read_fasta(reads_path, lazy=cfg.lazy_sequences)
         with metrics.stage("load_graph_artifact"):
             edges, graph = load_graph(graph_artifact, cfg)
         metrics.set("graph", graph.stats)
     else:
         contigs, reads, paf = load_inputs(
-            contigs_path, reads_path, paf_rc_path, paf_rr_path, metrics)
+            contigs_path, reads_path, paf_rc_path, paf_rr_path, metrics,
+            lazy=cfg.lazy_sequences)
         edges, graph = build_graph(contigs, reads, paf, cfg, metrics)
         if save_graph_path:
             with metrics.stage("save_graph_artifact"):

@@ -7,13 +7,24 @@ SURVEY.md §3 rows 7-10; §4.1 "HOT LOOP"; mount empty, SURVEY.md §0). TPU-nati
 padded CSR plus VPU masking/argmax/sampling. No data-dependent control flow.
 
 Performance structure (profiled on TPU v5e — see BASELINE.md):
-  - The scan body touches ONLY the tables its decisions need: nbr always, es for
-    Monte-Carlo and OS for greedy-OS walks. Greedy-ES needs NO score gather at all:
-    CSR rows are pre-sorted by (ES desc, dst asc), so greedy-ES = first valid slot.
+  - The scan body touches ONLY the tables its decisions need: nbr always, the MC
+    weight-cumsum rows for Monte-Carlo and OS for greedy-OS walks. Greedy-ES needs NO
+    score gather at all: CSR rows are pre-sorted by (ES desc, dst asc), so greedy-ES
+    = first valid slot.
+  - ALL RNG is hoisted out of the scan: the (S, W) table of per-step uniform bits is
+    generated in one batched op before the scan (same fold_in tree, same bits), so
+    the scan's serial critical path carries no threefry hashing (~1.4x).
+  - Each scan step issues ONE contiguous (W, 2K) row gather from the packed
+    [nbr | cum] table (GraphDev.nbrcum); the MC draw resolves in-register with a
+    compare-count over the cumsum half (first slot with cum > r). This replaces the
+    earlier ceil(log2 K) serially-dependent single-element gathers (~2.6x; gather op
+    count, not bytes, dominates — dependent scattered gathers are the worst access
+    pattern on TPU).
   - The scan emits just the chosen CSR slot per step. Edge ids, advances (path_len)
-    and ES sums (score_sum) are reconstructed AFTER the scan with one flat (W, S)
-    gather from per-edge arrays — removing three (W, K) gathers and four
-    take_along_axis reductions per step (a ~4x end-to-end win).
+    and ES sums (score_sum) are reconstructed AFTER the scan with ONE packed (W, S)
+    gather from the (N*K, 4) [eid, adv, es] recon table (GraphDev.rec) — removing
+    three (W, K) gathers and four take_along_axis reductions per step, then
+    collapsing the remaining three scattered recon gathers into one (~4x + ~1.25x).
 
 Semantics (deterministic, documented — SURVEY.md §7 "bit-identical" hard part):
   - A walk starts at an oriented anchor node and repeatedly selects an out-edge.
@@ -23,8 +34,8 @@ Semantics (deterministic, documented — SURVEY.md §7 "bit-identical" hard part
     pre-sorted by (ES desc, dst asc), which fixes the tie-break globally.
   - mode 2 (Monte-Carlo): pick slot j with probability w_j / sum(w) over the FULL row,
     where w = mc_weights(ES) (integer ceil(ES) weights, 0 for ES <= 0 and pads),
-    sampled by integer inverse-CDF against the PRECOMPUTED row cumsum (branchless
-    binary search, ceil(log2 K) single-element gathers — no (W, K) row traffic). A
+    sampled by integer inverse-CDF against the PRECOMPUTED row cumsum (one contiguous
+    row gather + compare-count: choice = #{j : cum_j <= r}). A
     draw landing on an already-visited destination KILLS the walk (HERA cycle kill,
     SURVEY.md §3 row 10); a walk with no positive-weight candidate dies. The draw
     uses the walk's OWN stream: fold_in(fold_in(key(seed), uid), step) — invariant to
@@ -55,15 +66,19 @@ from telomeri_tpu.walk.plan import MODE_GREEDY_OS, MODE_MC, WalkPlan
 
 
 class GraphDev(NamedTuple):
-    """Device-resident CSR tables (see graph/tensorize.py for layout)."""
+    """Device-resident CSR tables (see graph/tensorize.py for the host layout).
 
-    nbr: jax.Array       # (N, K) int32
-    cumw: jax.Array      # (N, K) int32 static per-row MC weight cumsum
-    wtotal: jax.Array    # (N,) int32 row weight totals
+    The device layout is packed for the walk loop's two access patterns:
+      - nbrcum: (N, 2K) int32 — [:, :K] neighbour ids, [:, K:] the static MC weight
+        cumsum. ONE contiguous row gather per scan step feeds both the transition
+        and the sampler (halving per-step gather ops — gathers, not bytes, dominate).
+      - rec: (N*K, 4) int32 — per-slot [eid, adv, es_bits(f32), 0] for the post-scan
+        reconstruction: one packed (W, S) gather instead of three.
+    os_ stays separate: only greedy-OS walks (a tiny batch section) read it."""
+
+    nbrcum: jax.Array    # (N, 2K) int32
     os_: jax.Array       # (N, K) f32
-    eid: jax.Array       # (N, K) int32
-    edge_es: jax.Array   # (E,) f32  per-edge ES (post-scan reconstruction)
-    edge_adv: jax.Array  # (E,) int32 per-edge advance
+    rec: jax.Array       # (N*K, 4) int32
 
 
 def mc_weights(es: np.ndarray) -> np.ndarray:
@@ -101,34 +116,31 @@ class WalkResult(NamedTuple):
         return WalkResult(*[np.asarray(a) for a in self])
 
 
-def _edge_arrays(g: GraphTensors) -> tuple[np.ndarray, np.ndarray]:
-    if g.edge_es is not None:
-        return g.edge_es, g.edge_adv
-    # derive from the (N, K) tables (tests build GraphTensors by hand)
-    valid = g.eid >= 0
-    n_e = int(g.eid.max()) + 1 if valid.any() else 0
-    edge_es = np.zeros(max(n_e, 1), np.float32)
-    edge_adv = np.zeros(max(n_e, 1), np.int32)
-    edge_es[g.eid[valid]] = g.es[valid]
-    edge_adv[g.eid[valid]] = g.adv[valid]
-    return edge_es, edge_adv
-
-
-def _cum_arrays(g: GraphTensors) -> tuple[np.ndarray, np.ndarray]:
+def _cum_arrays(g: GraphTensors) -> np.ndarray:
     if g.cumw is not None:
-        return g.cumw, g.wtotal
-    cumw = np.cumsum(mc_weights(g.es), axis=1, dtype=np.int64).astype(np.int32)
-    total = cumw[:, -1] if cumw.size else np.zeros(g.nbr.shape[0], np.int32)
-    return cumw, total.astype(np.int32)
+        return g.cumw
+    return np.cumsum(mc_weights(g.es), axis=1, dtype=np.int64).astype(np.int32)
+
+
+def pack_rec(eid: np.ndarray, adv: np.ndarray, es: np.ndarray) -> np.ndarray:
+    """Pack the (N, K) per-slot attribute tables into the (N*K, 4) recon table."""
+    flat = lambda a: np.ascontiguousarray(a).reshape(-1)
+    return np.stack([
+        flat(eid).astype(np.int32),
+        flat(adv).astype(np.int32),
+        flat(es).astype(np.float32).view(np.int32),
+        np.zeros(eid.size, np.int32),
+    ], axis=1)
 
 
 def graph_to_device(g: GraphTensors, sharding=None) -> GraphDev:
     put = (lambda a: jax.device_put(a, sharding)) if sharding is not None else jax.device_put
-    edge_es, edge_adv = _edge_arrays(g)
-    cumw, wtotal = _cum_arrays(g)
-    return GraphDev(nbr=put(g.nbr), cumw=put(cumw), wtotal=put(wtotal),
-                    os_=put(g.os_), eid=put(g.eid), edge_es=put(edge_es),
-                    edge_adv=put(edge_adv))
+    cumw = _cum_arrays(g)
+    return GraphDev(
+        nbrcum=put(np.concatenate([g.nbr, cumw], axis=1)),
+        os_=put(g.os_),
+        rec=put(pack_rec(g.eid, g.adv, g.es)),
+    )
 
 
 def plan_to_device(p: WalkPlan, sharding=None) -> PlanDev:
@@ -149,13 +161,22 @@ def _run_walks_kind(
     kind="greedy": no RNG at all — skips key folding and categorical.
     """
     w = p.start.shape[0]
-    k = g.nbr.shape[1]
+    k = g.os_.shape[1]
     anchor_lim = jnp.int32(2 * n_anchors)
     use_mc = kind in ("mixed", "mc")
     use_greedy = kind in ("mixed", "greedy")
     if use_mc:
+        # hoist ALL RNG out of the scan: one batched (S, W) bits table, same
+        # fold_in(fold_in(key(seed), uid), step) tree as the per-step form — the
+        # scan's serial critical path then carries no threefry hashing
         base = jax.random.key(seed)
         walk_keys = jax.vmap(lambda u: jax.random.fold_in(base, u))(p.uid)
+        all_bits = jax.vmap(lambda s: jax.vmap(
+            lambda kk: jax.random.bits(jax.random.fold_in(kk, s),
+                                       dtype=jnp.uint32))(walk_keys)
+        )(jnp.arange(max_steps, dtype=jnp.int32))          # (S, W)
+    else:
+        all_bits = jnp.zeros((max_steps, w), jnp.uint32)
     is_mc = p.mode == MODE_MC
     is_os = p.mode == MODE_GREEDY_OS
 
@@ -169,16 +190,15 @@ def _run_walks_kind(
         visited=visited0,
     )
 
-    nbr_flat = g.nbr.reshape(-1)
-    cum_flat = g.cumw.reshape(-1)
-
-    def step(carry, s):
+    def step(carry, inp):
+        s, bits = inp
         cur = carry["cur"]
+        rows = g.nbrcum[cur]                            # (W, 2K) ONE contiguous row gather
+        nbr_rows = rows[:, :k]
 
         if use_greedy:
             # greedy candidates exclude pads and already-visited destinations
             # (greedy REROUTES around its path; MC below kills instead)
-            nbr_rows = g.nbr[cur]                       # (W, K)
             valid = nbr_rows >= 0
             revisit = (nbr_rows[:, :, None] == carry["visited"][:, None, :]).any(-1)
             valid &= ~revisit
@@ -194,38 +214,29 @@ def _run_walks_kind(
 
         if use_mc:
             # Monte-Carlo: prob ∝ weight (mc_weights) over the STATIC row
-            # distribution, sampled by integer inverse-CDF with a branchless binary
-            # search over the precomputed row cumsum — ceil(log2 K) single-element
-            # gathers per walk instead of a (W, K) row gather. A draw landing on an
-            # already-visited destination KILLS the walk (cycle kill, SURVEY.md §3
-            # row 10) rather than rerouting. r = bits % total has modulo bias
-            # <= total / 2^31 (< 0.01% on real rows) — deterministic, replicated
-            # bit-for-bit by the oracle.
-            total = g.wtotal[cur]
-            step_keys = jax.vmap(lambda kk: jax.random.fold_in(kk, s))(walk_keys)
-            bits = jax.vmap(lambda kk: jax.random.bits(kk, dtype=jnp.uint32))(step_keys)
+            # distribution, sampled by integer inverse-CDF against the precomputed
+            # row cumsum: gather the CONTIGUOUS (K,) cumsum row and count slots with
+            # cum <= r (in-register compare-count = lower_bound for the first
+            # cum > r). A draw landing on an already-visited destination KILLS the
+            # walk (cycle kill, SURVEY.md §3 row 10) rather than rerouting.
+            # r = bits % total has modulo bias <= total / 2^31 (< 0.01% on real
+            # rows) — deterministic, replicated bit-for-bit by the oracle.
+            cum_rows = rows[:, k:]                      # cumsum half of the same gather
+            total = cum_rows[:, -1]
             r = (bits & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32) % jnp.maximum(total, 1)
-            base = cur * k
-            lo = jnp.zeros_like(cur)
-            sz = k
-            while sz > 1:  # static unroll: branchless lower_bound (first cum > r)
-                half = sz // 2
-                c = cum_flat[base + lo + (half - 1)]
-                lo = jnp.where(c <= r, lo + half, lo)
-                sz -= half
-            mc_choice = lo.astype(jnp.int32)
+            mc_choice = jnp.minimum(
+                jnp.sum((cum_rows <= r[:, None]).astype(jnp.int32), axis=1), k - 1
+            ).astype(jnp.int32)
             mc_dead = total <= 0
 
         if kind == "mc":
             choice, dead = mc_choice, mc_dead
-            nxt = nbr_flat[base + choice]
         elif kind == "greedy":
             choice, dead = greedy_choice, greedy_dead
-            nxt = jnp.take_along_axis(nbr_rows, choice[:, None], 1)[:, 0]
         else:
             choice = jnp.where(is_mc, mc_choice, greedy_choice)
             dead = jnp.where(is_mc, mc_dead, greedy_dead)
-            nxt = jnp.take_along_axis(nbr_rows, choice[:, None], 1)[:, 0]
+        nxt = jnp.take_along_axis(nbr_rows, choice[:, None], 1)[:, 0]
 
         if use_greedy:
             # deterministic first-edge enumeration (MC plans always have -1)
@@ -259,18 +270,20 @@ def _run_walks_kind(
         return new, jnp.where(stepping, choice, -1)
 
     carry, slots_t = jax.lax.scan(
-        step, carry0, jnp.arange(max_steps, dtype=jnp.int32)
+        step, carry0, (jnp.arange(max_steps, dtype=jnp.int32), all_bits)
     )
     slots = jnp.transpose(slots_t)                 # (W, S)
 
-    # post-scan reconstruction: edge ids from (node, slot), then per-edge sums
+    # post-scan reconstruction: ONE packed (W, S) gather from the per-slot recon
+    # table yields edge ids, advances, and ES at once
     src_nodes = carry["visited"][:, :max_steps]    # node the step left FROM
     took = slots >= 0
     flat = jnp.clip(src_nodes, 0) * k + jnp.clip(slots, 0)
-    eids = jnp.where(took, g.eid.reshape(-1)[flat], -1)
-    e_ok = jnp.clip(eids, 0)
-    path_len = jnp.sum(jnp.where(took, g.edge_adv[e_ok], 0), axis=1, dtype=jnp.int32)
-    score_sum = jnp.sum(jnp.where(took, g.edge_es[e_ok], 0.0), axis=1)
+    rec = g.rec[flat]                              # (W, S, 4)
+    eids = jnp.where(took, rec[..., 0], -1)
+    path_len = jnp.sum(jnp.where(took, rec[..., 1], 0), axis=1, dtype=jnp.int32)
+    score_sum = jnp.sum(jnp.where(
+        took, jax.lax.bitcast_convert_type(rec[..., 2], jnp.float32), 0.0), axis=1)
 
     return WalkResult(
         nodes=carry["visited"],

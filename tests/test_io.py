@@ -99,3 +99,76 @@ def test_fastq_truncated_record(tmp_path):
     p.write_bytes(b"@r1\nACGT\n+\nIIII\n@r2")
     with pytest.raises(ValueError, match="truncated"):
         read_fasta(str(p))
+
+
+# --- lazy mmap-backed store (io/fasta.py _read_lazy; ARCHITECTURE.md memory budget) ---
+
+def _assert_same(lazy, eager):
+    assert lazy.names == eager.names
+    assert list(lazy.lengths) == list(eager.lengths)
+    for i in range(len(eager)):
+        assert np.array_equal(np.asarray(lazy.seqs[i]), eager.seqs[i]), i
+
+
+def test_lazy_fasta_parity(tmp_path):
+    p = tmp_path / "x.fa"
+    p.write_bytes(b">a desc\nACGTACG\nTTT\n>b\nG\n>c\n\n>d\nAAAA")  # multi-line, empty, no trailing \n
+    # blank line after ">c" -> lazy falls back to eager (still correct)
+    lazy, eager = read_fasta(str(p), lazy="on"), read_fasta(str(p))
+    _assert_same(lazy, eager)
+
+
+def test_lazy_fasta_singleline_zero_copy(tmp_path):
+    p = tmp_path / "x.fa"
+    p.write_bytes(b">a\nACGTACGT\n>b\nTTTTT\n")
+    lazy, eager = read_fasta(str(p), lazy="on"), read_fasta(str(p))
+    from telomeri_tpu.io.fasta import LazySequenceSet
+
+    assert isinstance(lazy, LazySequenceSet)
+    _assert_same(lazy, eager)
+    assert not lazy.seqs[0].flags.owndata  # mmap view, not a copy
+
+
+def test_lazy_fastq_parity(tmp_path):
+    p = tmp_path / "r.fq"
+    # quality line starting with '@' must not be mistaken for a header
+    p.write_bytes(b"@r1 extra\nACGT\n+\n@III\n@r2\nTT\n+\n!!\n")
+    lazy, eager = read_fasta(str(p), lazy="on"), read_fasta(str(p))
+    from telomeri_tpu.io.fasta import LazySequenceSet
+
+    assert isinstance(lazy, LazySequenceSet)
+    _assert_same(lazy, eager)
+
+
+def test_lazy_crlf_falls_back(tmp_path):
+    p = tmp_path / "m.fa"
+    p.write_bytes(b">x\r\nACGT\r\nTT\r\n")
+    lazy = read_fasta(str(p), lazy="on")
+    assert lazy.seqs[0].tobytes() == b"ACGTTT"
+
+
+def test_lazy_empty_file(tmp_path):
+    p = tmp_path / "e.fa"
+    p.write_bytes(b"")
+    lazy = read_fasta(str(p), lazy="on")
+    assert len(lazy) == 0
+
+
+def test_lazy_gzip_falls_back(tmp_path):
+    import gzip
+
+    p = tmp_path / "x.fa.gz"
+    p.write_bytes(gzip.compress(b">a\nACGT\n"))
+    lazy = read_fasta(str(p), lazy="on")
+    assert lazy.names == ["a"] and lazy.seqs[0].tobytes() == b"ACGT"
+
+
+def test_lazy_random_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    names = [f"s{i}" for i in range(30)]
+    seqs = [np.frombuffer(rng.choice(list(b"ACGT"), size=int(n)).astype(np.uint8).tobytes(),
+                          dtype=np.uint8) for n in rng.integers(0, 300, 30)]
+    p = str(tmp_path / "r.fa")
+    write_fasta(p, names, seqs, width=60)
+    lazy, eager = read_fasta(p, lazy="on"), read_fasta(p)
+    _assert_same(lazy, eager)
