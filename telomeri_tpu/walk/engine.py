@@ -269,8 +269,11 @@ def _run_walks_kind(
         )
         return new, jnp.where(stepping, choice, -1)
 
+    # unroll: XLA overlaps the per-step row gathers across unrolled iterations,
+    # hiding gather latency behind compute (~2x on v5e; 8 regresses — fusion bloat)
     carry, slots_t = jax.lax.scan(
-        step, carry0, (jnp.arange(max_steps, dtype=jnp.int32), all_bits)
+        step, carry0, (jnp.arange(max_steps, dtype=jnp.int32), all_bits),
+        unroll=4,
     )
     slots = jnp.transpose(slots_t)                 # (W, S)
 
