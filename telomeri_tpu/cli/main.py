@@ -90,6 +90,21 @@ def main(argv: list[str] | None = None) -> int:
 
         jax.config.update("jax_platforms", platform)
 
+    if args.cmd == "scaffold":
+        # persistent compile cache: first-ever compiles of the walk scan/scoring
+        # kernel take minutes on TPU; with bucketed shapes (utils/shapes.py) later
+        # runs and similar-scale datasets hit this cache. JAX's own
+        # JAX_COMPILATION_CACHE_DIR env/config wins if the user set it.
+        import jax
+
+        if jax.config.jax_compilation_cache_dir is None:
+            cache = os.environ.get(
+                "TELOMERI_JAX_CACHE",
+                os.path.join(os.path.expanduser("~"), ".cache", "telomeri-tpu",
+                             "jax_cache"))
+            os.makedirs(cache, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", cache)
+
     if args.cmd == "stats":
         import json
 

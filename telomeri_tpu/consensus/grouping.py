@@ -82,10 +82,14 @@ def _lexsort_rows(keys_minor_to_major):
     return order
 
 
-@functools.partial(jax.jit, static_argnames=("n_anchors", "group_window", "min_support"))
+@functools.partial(jax.jit, static_argnames=("group_window", "min_support"))
 def group_and_select(
-    s: WalkSummary, *, n_anchors: int, group_window: int, min_support: int
+    s: WalkSummary, *, n_anchors: int = 0, group_window: int, min_support: int
 ) -> ConsensusResult:
+    # n_anchors is accepted for API symmetry but unused by the math (canonical
+    # pairs + segment reductions never need it); it is deliberately NOT a static
+    # jit arg, so one compiled consensus program serves every dataset of the same
+    # walk-batch bucket (utils/shapes.py).
     w = s.start.shape[0]
 
     a = s.start.astype(jnp.int32)

@@ -5,7 +5,9 @@ SURVEY.md §0). The reference uses pointer-based adjacency; the TPU-native encod
 dense (N, K) padded CSR so each walk step is one dense gather (SURVEY.md §2.2 `graph/`).
 
 Layout:
-  - N = 2 * n_seqs oriented nodes (see io/geometry.py for the node encoding).
+  - N = 2 * n_seqs oriented nodes (see io/geometry.py for the node encoding), padded
+    up to a bucketed row count (utils/shapes.py) with unreachable empty rows so the
+    compiled walk program is reused across datasets.
   - Row r of each (N, K) table lists node r's out-edges, sorted by (ES desc, dst asc,
     edge-index asc) — the sort IS the greedy tie-break rule (documented, deterministic).
   - The row width K is DATA-DEPENDENT: the observed max out-degree rounded up to a
@@ -119,6 +121,21 @@ def tensorize(
     if cumw.size and cumw.max() >= np.iinfo(np.int32).max:
         raise ValueError("MC weight cumsum overflows int32; lower max_degree or scores")
     cumw = cumw.astype(np.int32)
+
+    # bucketed node padding (utils/shapes.py): table row counts come from a small
+    # geometric family so the compiled walk program is reused across datasets.
+    # Padded rows are unreachable (no edge points at them: nbr pads are -1,
+    # degrees 0) and sit ABOVE every real node id, so anchor id-arithmetic and
+    # walk-plan enumeration are unaffected.
+    from telomeri_tpu.utils.shapes import bucket_len
+
+    n_rows = max(bucket_len(n_nodes, 8), 8)
+    if n_rows > n_nodes:
+        rpad = n_rows - n_nodes
+        pad2 = lambda a, v: np.pad(a, ((0, rpad), (0, 0)), constant_values=v)
+        nbr, eid = pad2(nbr, -1), pad2(eid, -1)
+        es, os_, adv, cumw = (pad2(a, 0) for a in (es, os_, adv, cumw))
+        deg_full = np.pad(deg_full, (0, rpad))
     return GraphTensors(
         nbr=nbr, es=es, os_=os_, adv=adv, eid=eid,
         deg=np.minimum(deg_full, k).astype(np.int32),
@@ -131,6 +148,7 @@ def tensorize(
         wtotal=(cumw[:, -1] if cumw.size else np.zeros(n_nodes, np.int32)).astype(np.int32),
         stats={
             "n_nodes": n_nodes,
+            "n_nodes_padded": n_rows,
             "n_edges": len(edges),
             "max_degree_observed": int(deg_full.max()) if n_nodes else 0,
             "k": k,

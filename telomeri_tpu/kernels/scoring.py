@@ -83,11 +83,15 @@ def score_overlaps_pallas(nm, bl, ol1, ol2, oh1, oh2, el1, el2, *, interpret=Fal
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    from telomeri_tpu.utils.shapes import bucket_len
+
     n = nm.shape[0]
     cols = _LANES
     rows = max(pl.cdiv(n, cols), 1)
-    # pad rows so the grid divides evenly
-    rows_pad = pl.cdiv(rows, _BLOCK_M) * _BLOCK_M
+    # bucketed padding (utils/shapes.py): the grid divides evenly AND the padded
+    # shape comes from a small family, so the kernel program is reused across
+    # datasets instead of recompiling (~1 min/shape over the axon tunnel)
+    rows_pad = max(bucket_len(rows, _BLOCK_M), _BLOCK_M)
     total = rows_pad * cols
 
     def prep(a):

@@ -149,9 +149,9 @@ def plan_to_device(p: WalkPlan, sharding=None) -> PlanDev:
                    uid=put(p.uid), active=put(p.active))
 
 
-@functools.partial(jax.jit, static_argnames=("n_anchors", "max_steps", "kind"))
+@functools.partial(jax.jit, static_argnames=("max_steps", "kind"))
 def _run_walks_kind(
-    g: GraphDev, p: PlanDev, seed, *, n_anchors: int, max_steps: int, kind: str
+    g: GraphDev, p: PlanDev, seed, *, n_anchors, max_steps: int, kind: str
 ) -> WalkResult:
     """One lockstep scan, specialized by batch kind.
 
@@ -159,10 +159,13 @@ def _run_walks_kind(
     kind="mc": all walks are Monte-Carlo with first_edge == -1 — skips the OS gather,
       greedy argmax, and forced-edge take (the 97%-of-batch fast path).
     kind="greedy": no RNG at all — skips key folding and categorical.
+
+    n_anchors is a TRACED scalar (not static): with bucketed batch/table shapes
+    (utils/shapes.py) one compiled program serves every same-bucket dataset.
     """
     w = p.start.shape[0]
     k = g.os_.shape[1]
-    anchor_lim = jnp.int32(2 * n_anchors)
+    anchor_lim = jnp.asarray(2 * jnp.asarray(n_anchors, jnp.int32), jnp.int32)
     use_mc = kind in ("mixed", "mc")
     use_greedy = kind in ("mixed", "greedy")
     if use_mc:

@@ -85,9 +85,12 @@ def plan_walks(g: GraphTensors, cfg: ScaffoldConfig, n_shards: int = 1) -> WalkP
     m_mode = np.full(n_mc, MODE_MC, np.int64)
 
     def pad_len(n):
-        if n == 0:
-            return 0  # empty section: no padded ghost scan
-        return ((n + m - 1) // m) * m
+        # bucketed padding: stays a multiple of m (shard divisibility) while
+        # bounding distinct compiled walk-batch shapes across datasets
+        # (utils/shapes.py; empty section -> no padded ghost scan)
+        from telomeri_tpu.utils.shapes import bucket_len
+
+        return bucket_len(n, m)
 
     gp, mp = pad_len(n_greedy), pad_len(n_mc)
     pad_uid = n_greedy + n_mc

@@ -20,7 +20,10 @@ def mk_edges(srcs, dsts, ess):
 def test_csr_sorted_by_es_desc():
     e = mk_edges([0, 0, 0, 2], [4, 6, 8, 4], [1.0, 5.0, 3.0, 2.0])
     g = tensorize(e, seq_len=np.array([10] * 5), n_anchors=1, cfg=ScaffoldConfig(max_degree=4))
-    assert g.n_nodes == 10
+    # 10 real oriented nodes, bucket-padded rows (utils/shapes.py) above them
+    assert g.stats["n_nodes"] == 10
+    assert g.n_nodes == g.stats["n_nodes_padded"] == 16
+    assert (g.nbr[10:] == -1).all() and (g.deg[10:] == 0).all()
     assert list(g.nbr[0][:3]) == [6, 8, 4]          # ES desc
     assert list(g.es[0][:3]) == [5.0, 3.0, 1.0]
     assert g.nbr[0][3] == -1                        # padding

@@ -51,3 +51,29 @@ def test_config_rejects_zero_structurals():
         with pytest.raises(ValueError, match=f):
             ScaffoldConfig(**{f: 0})
     ScaffoldConfig(mc_walks_per_end=0)  # legitimate: greedy-only run
+
+
+def test_bucket_len_properties():
+    from telomeri_tpu.utils.shapes import bucket_len
+
+    assert bucket_len(0, 8) == 0
+    seen = set()
+    prev = 0
+    for n in range(1, 200_000, 37):
+        b = bucket_len(n, 8)
+        assert b >= n and b % 8 == 0
+        assert b <= max(n * 1.125 + 8, 8), (n, b)   # <= ~12.5% waste
+        assert b >= prev                            # monotone
+        prev = b
+        seen.add(b)
+    # bounded shape family (~8-16 per power of two) vs ~5400 exact multiples of 8
+    assert len(seen) < 150
+
+
+def test_bucket_len_multiple_respected():
+    from telomeri_tpu.utils.shapes import bucket_len
+
+    for m in (1, 8, 24, 640):
+        for n in (1, 5, 100, 12345):
+            assert bucket_len(n, m) % m == 0
+            assert bucket_len(n, m) >= n
