@@ -158,12 +158,67 @@ def bench_scaling(cfg, graph, plan_builder, repeats: int):
         log(f"scaling {n} devices: {plan.n_active/dt:,.0f} walks/s")
 
 
+def bench_hg002_graph():
+    """BENCH_SCALE=hg002-graph: whole-human-scale HBM fit + walk throughput.
+
+    Synthesizes a graph at the ARCHITECTURE.md HG002 budget (N=6.3M oriented
+    nodes, K=64 -> ~11.3 GiB of device tables), device_puts it, and times a 49k
+    MC walk batch. Validates that the replicated-graph design holds at config #5
+    scale on one chip (measured 2026-08-18: fits; 431k walks/s/chip with fully
+    random access — no anchor locality, a worst case vs real graphs)."""
+    import jax
+    import jax.numpy as jnp
+
+    from telomeri_tpu.graph.tensorize import GraphTensors
+    from telomeri_tpu.walk.engine import graph_to_device, plan_to_device, run_walks
+    from telomeri_tpu.walk.plan import MODE_MC, WalkPlan
+
+    n, k = int(os.environ.get("BENCH_HG002_N", 6_291_456)), 64
+    n_anchors = 2000
+    rng = np.random.default_rng(0)
+    t0 = time.perf_counter()
+    deg = rng.integers(4, k + 1, n).astype(np.int32)
+    mask = np.arange(k, dtype=np.int32)[None, :] < deg[:, None]
+    g = GraphTensors(
+        nbr=np.where(mask, rng.integers(2 * n_anchors, n, (n, k)).astype(np.int32), -1),
+        es=(es := np.where(mask, rng.uniform(100, 5000, (n, k)), 0).astype(np.float32)),
+        os_=es.copy(),
+        adv=np.where(mask, rng.integers(100, 3000, (n, k)).astype(np.int32), 0),
+        eid=np.where(mask, np.arange(n * k, dtype=np.int32).reshape(n, k), -1),
+        deg=deg, seq_len=np.full(n // 2, 20000, np.int32), n_anchors=n_anchors)
+    log(f"hg002 graph built on host in {time.perf_counter()-t0:.0f}s")
+    t0 = time.perf_counter()
+    gd = graph_to_device(g)
+    jax.block_until_ready(gd)
+    gib = sum(a.size * a.dtype.itemsize for a in gd) / 2**30
+    log(f"device_put {gib:.1f} GiB in {time.perf_counter()-t0:.0f}s")
+    w, s = 49152, 32
+    pd = plan_to_device(WalkPlan(
+        start=rng.integers(0, 2 * n_anchors, w).astype(np.int32),
+        first_edge=np.full(w, -1, np.int32), mode=np.full(w, MODE_MC, np.int32),
+        uid=np.arange(w, dtype=np.int32), active=np.ones(w, bool)))
+    run = lambda seed: run_walks(gd, pd, seed, n_anchors=n_anchors, max_steps=s)
+    _ = int(np.asarray(jnp.sum(run(0).steps)))
+    t0 = time.perf_counter()
+    rs = [run(1 + i) for i in range(10)]
+    _ = int(np.asarray(jnp.sum(rs[-1].steps)))
+    dt = (time.perf_counter() - t0) / 10
+    log(f"hg002-scale walks: {dt*1e3:.1f} ms/call -> {w/dt:,.0f} walks/s/chip")
+    print(json.dumps({
+        "metric": "hg002_scale_walks_per_s_per_chip", "value": round(w / dt, 1),
+        "unit": "walks/s", "vs_baseline": round(gib, 2)}))
+
+
 def main():
     os.makedirs("/root/repo/.jax_cache", exist_ok=True)
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     log(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
+
+    if os.environ.get("BENCH_SCALE") == "hg002-graph":
+        bench_hg002_graph()
+        return
 
     mc = int(os.environ.get("BENCH_MC_WALKS", "4096"))
     repeats = int(os.environ.get("BENCH_REPEATS", "5"))
