@@ -170,7 +170,11 @@ def bench_hg002_graph():
     import jax.numpy as jnp
 
     from telomeri_tpu.graph.tensorize import GraphTensors
-    from telomeri_tpu.walk.engine import graph_to_device, plan_to_device, run_walks
+    from telomeri_tpu.walk.engine import (
+        _run_walks_kind,
+        graph_to_device,
+        plan_to_device,
+    )
     from telomeri_tpu.walk.plan import MODE_MC, WalkPlan
 
     n, k = int(os.environ.get("BENCH_HG002_N", 6_291_456)), 64
@@ -197,7 +201,9 @@ def bench_hg002_graph():
         start=rng.integers(0, 2 * n_anchors, w).astype(np.int32),
         first_edge=np.full(w, -1, np.int32), mode=np.full(w, MODE_MC, np.int32),
         uid=np.arange(w, dtype=np.int32), active=np.ones(w, bool)))
-    run = lambda seed: run_walks(gd, pd, seed, n_anchors=n_anchors, max_steps=s)
+    # kind="mc": the sectioned fast path production plans actually take
+    run = lambda seed: _run_walks_kind(
+        gd, pd, seed, n_anchors=n_anchors, max_steps=s, kind="mc")
     _ = int(np.asarray(jnp.sum(run(0).steps)))
     t0 = time.perf_counter()
     rs = [run(1 + i) for i in range(10)]

@@ -111,7 +111,9 @@ def main(argv: list[str] | None = None) -> int:
         from telomeri_tpu.io.fasta import read_fasta
         from telomeri_tpu.utils.stats import assembly_stats
 
-        out = {p: assembly_stats(read_fasta(p).lengths) for p in args.fastx}
+        # lazy="auto": stats only needs lengths, which the mmap index provides
+        # without materializing whole-genome sequence bytes
+        out = {p: assembly_stats(read_fasta(p, lazy="auto").lengths) for p in args.fastx}
         print(json.dumps(out, indent=2, sort_keys=True))
         return 0
 

@@ -30,6 +30,20 @@ def reverse_complement(seq: np.ndarray) -> np.ndarray:
     return _COMP[seq[::-1]]
 
 
+def _build_index(names: list[str]) -> dict[str, int]:
+    """name -> position; raises on duplicates (shared by eager + lazy sets)."""
+    index = {n: i for i, n in enumerate(names)}
+    if len(index) != len(names):
+        seen: set[str] = set()
+        dupes = []
+        for n in names:
+            if n in seen:
+                dupes.append(n)
+            seen.add(n)
+        raise ValueError(f"duplicate sequence names: {dupes[:5]}")
+    return index
+
+
 @dataclass
 class SequenceSet:
     """A set of named sequences as numpy byte arrays.
@@ -45,10 +59,7 @@ class SequenceSet:
 
     def __post_init__(self) -> None:
         self.lengths = np.array([len(s) for s in self.seqs], dtype=np.int64)
-        self.index = {n: i for i, n in enumerate(self.names)}
-        if len(self.index) != len(self.names):
-            dupes = [n for n in self.index if self.names.count(n) > 1]
-            raise ValueError(f"duplicate sequence names: {dupes[:5]}")
+        self.index = _build_index(self.names)
 
     def __len__(self) -> int:
         return len(self.names)
@@ -93,43 +104,30 @@ class LazySequenceSet:
         self.names = names
         self.seqs = seqs
         self.lengths = lengths
-        self.index = {n: i for i, n in enumerate(names)}
-        if len(self.index) != len(names):
-            seen, dupes = set(), []
-            for n in names:
-                if n in seen:
-                    dupes.append(n)
-                seen.add(n)
-            raise ValueError(f"duplicate sequence names: {dupes[:5]}")
+        self.index = _build_index(names)
 
     def __len__(self) -> int:
         return len(self.names)
 
 
-def _read_lazy(path: str):
-    """mmap-index a plain (non-gz) FASTA/FASTQ without materializing sequences.
+def _index_lazy(mm):
+    """Index pass over an mmap: returns (names, starts, ends, lengths) or None
+    when the layout needs the eager parser (CRLF, blank lines, non-4-line FASTQ).
 
-    Returns a LazySequenceSet, or None when the file needs the eager parser
-    (CRLF line endings, blank interior lines, or FASTQ not in strict 4-line
-    records — all rare; correctness falls back, never degrades)."""
-    import mmap
-
-    f = open(path, "rb")
-    try:
-        if os.fstat(f.fileno()).st_size == 0:
-            f.close()
-            empty = np.empty(0, np.int64)
-            return LazySequenceSet(
-                [], _LazySeqs(np.empty(0, np.uint8), empty, empty, empty, None),
-                empty)
-        mm = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
-    except (ValueError, OSError):
-        f.close()
-        return None
+    All numpy views of `mm` are locals of THIS function, so when it returns None
+    the caller can mm.close() without BufferError (no exported buffers remain)."""
     buf = np.frombuffer(mm, dtype=np.uint8)
-    if (buf == 13).any():                     # CRLF: eager parser handles it
-        return None
-    nl = np.flatnonzero(buf == 10).astype(np.int64)
+    # chunked scan: newline offsets + CR detection in bounded windows, so peak
+    # host memory during indexing is ~one chunk of temporaries plus the index —
+    # NOT file-sized boolean arrays (the whole point of the lazy store)
+    _CHUNK = 64 << 20
+    nl_parts: list[np.ndarray] = []
+    for off in range(0, len(buf), _CHUNK):
+        win = buf[off:off + _CHUNK]
+        if (win == 13).any():                 # CRLF: eager parser handles it
+            return None
+        nl_parts.append(np.flatnonzero(win == 10).astype(np.int64) + off)
+    nl = (np.concatenate(nl_parts) if nl_parts else np.empty(0, np.int64))
     ends_with_nl = len(nl) > 0 and nl[-1] == len(buf) - 1
     line_ends = nl if ends_with_nl else np.append(nl, len(buf))
     line_starts = np.concatenate([[np.int64(0)], line_ends[:-1] + 1])
@@ -154,7 +152,7 @@ def _read_lazy(path: str):
         lengths = (ends - starts) - n_nl
         if (lengths < 0).any() or (starts > ends).any():
             return None
-    elif buf[0] == ord("@"):
+    else:  # FASTQ ('@' guaranteed by _read_lazy's first-byte check)
         if len(line_starts) % 4 != 0:
             return None                       # not strict 4-line FASTQ
         hdr = np.arange(0, len(line_starts), 4)
@@ -166,11 +164,40 @@ def _read_lazy(path: str):
         starts = line_starts[hdr + 1]
         ends = line_ends[hdr + 1]
         lengths = ends - starts
-    else:
-        raise ValueError(f"{path}: not FASTA/FASTQ (first byte {bytes(buf[0:1])!r})")
+    return names, starts, ends, lengths.astype(np.int64)
+
+
+def _read_lazy(path: str):
+    """mmap-index a plain (non-gz) FASTA/FASTQ without materializing sequences.
+
+    Returns a LazySequenceSet, or None when the file needs the eager parser
+    (CRLF line endings, blank interior lines, or FASTQ not in strict 4-line
+    records — all rare; correctness falls back, never degrades)."""
+    import mmap
+
+    with open(path, "rb") as f:
+        try:
+            if os.fstat(f.fileno()).st_size == 0:
+                empty = np.empty(0, np.int64)
+                return LazySequenceSet(
+                    [], _LazySeqs(np.empty(0, np.uint8), empty, empty, empty, None),
+                    empty)
+            # the mmap dups the fd; the file object can close immediately
+            mm = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
+        except (ValueError, OSError):
+            return None
+    b0 = mm[0:1]                              # plain bytes — no exported view
+    if b0 not in (b">", b"@"):
+        mm.close()
+        raise ValueError(f"{path}: not FASTA/FASTQ (first byte {b0!r})")
+    res = _index_lazy(mm)
+    if res is None:
+        mm.close()                            # safe: _index_lazy's views are gone
+        return None
+    names, starts, ends, lengths = res
+    buf = np.frombuffer(mm, dtype=np.uint8)
     return LazySequenceSet(
-        names, _LazySeqs(buf, starts, ends, lengths.astype(np.int64), mm),
-        lengths.astype(np.int64))
+        names, _LazySeqs(buf, starts, ends, lengths, mm), lengths)
 
 
 def _read_bytes(path: str) -> bytes:

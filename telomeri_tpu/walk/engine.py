@@ -7,9 +7,11 @@ SURVEY.md §3 rows 7-10; §4.1 "HOT LOOP"; mount empty, SURVEY.md §0). TPU-nati
 padded CSR plus VPU masking/argmax/sampling. No data-dependent control flow.
 
 Performance structure (profiled on TPU v5e — see BASELINE.md):
-  - The scan body touches ONLY the tables its decisions need: nbr always, the MC
-    weight-cumsum rows for Monte-Carlo and OS for greedy-OS walks. Greedy-ES needs NO
-    score gather at all: CSR rows are pre-sorted by (ES desc, dst asc), so greedy-ES
+  - The scan body touches ONLY the tables its decisions need: the packed
+    [nbr | cum] rows always (greedy reads just the nbr half of the one fetch —
+    the spare cum bytes are cheaper than a second table for the 2%-of-batch
+    greedy sections), plus OS rows for greedy-OS walks. Greedy-ES needs NO score
+    gather at all: CSR rows are pre-sorted by (ES desc, dst asc), so greedy-ES
     = first valid slot.
   - ALL RNG is hoisted out of the scan: the (S, W) table of per-step uniform bits is
     generated in one batched op before the scan (same fold_in tree, same bits), so

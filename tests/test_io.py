@@ -172,3 +172,18 @@ def test_lazy_random_roundtrip(tmp_path):
     write_fasta(p, names, seqs, width=60)
     lazy, eager = read_fasta(p, lazy="on"), read_fasta(p)
     _assert_same(lazy, eager)
+
+
+def test_lazy_no_trailing_newline(tmp_path):
+    p = tmp_path / "x.fa"
+    p.write_bytes(b">a\nACGT\n>b\nTTTTT")          # EOF right after sequence bytes
+    lazy, eager = read_fasta(str(p), lazy="on"), read_fasta(str(p))
+    from telomeri_tpu.io.fasta import LazySequenceSet
+
+    assert isinstance(lazy, LazySequenceSet)
+    _assert_same(lazy, eager)
+
+    q = tmp_path / "r.fq"
+    q.write_bytes(b"@r1\nACGT\n+\nIIII")            # FASTQ, no trailing newline
+    lazy, eager = read_fasta(str(q), lazy="on"), read_fasta(str(q))
+    _assert_same(lazy, eager)
