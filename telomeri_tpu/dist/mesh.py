@@ -102,6 +102,16 @@ def run_walks_distributed(
         raise TypeError("run_walks_distributed expects a host WalkPlan")
     if len(plan) % mesh.size != 0:
         raise ValueError(f"walk batch {len(plan)} not divisible by mesh size {mesh.size}")
+    if plan.sections is not None:
+        # the sectioned fast path shards each section independently — each must
+        # divide the mesh (plan_walks pads to n_shards; rebuild the plan if the
+        # mesh size changed after planning)
+        for kind, (lo, hi) in plan.sections.items():
+            if (hi - lo) % mesh.size != 0:
+                raise ValueError(
+                    f"plan section {kind!r} ({hi - lo} walks) not divisible by "
+                    f"mesh size {mesh.size}; re-run plan_walks(n_shards="
+                    f"{mesh.size})")
 
     res = run_walks_sectioned(
         g, plan, cfg.mc_seed, n_anchors=n_anchors, max_steps=cfg.max_steps,

@@ -59,11 +59,10 @@ class GraphTensors:
     edge_es: np.ndarray = None
     edge_adv: np.ndarray = None
     # static per-row Monte-Carlo sampling structure (see walk/engine.py mc_weights):
-    # cumw[v, j] = sum of integer weights of row v's slots 0..j; wtotal[v] = cumw[v,-1].
-    # Static because MC samples the FULL row and kills on revisit (cycle kill),
-    # so the per-step distribution never changes.
+    # cumw[v, j] = sum of integer weights of row v's slots 0..j (row total is the
+    # last column). Static because MC samples the FULL row and kills on revisit
+    # (cycle kill), so the per-step distribution never changes.
     cumw: np.ndarray = None      # (N, K) int32
-    wtotal: np.ndarray = None    # (N,) int32
 
     @property
     def n_nodes(self) -> int:
@@ -145,7 +144,6 @@ def tensorize(
         edge_es=np.asarray(edges.es, np.float32),
         edge_adv=np.asarray(edges.adv, np.int32),
         cumw=cumw,
-        wtotal=(cumw[:, -1] if cumw.size else np.zeros(n_nodes, np.int32)).astype(np.int32),
         stats={
             "n_nodes": n_nodes,
             "n_nodes_padded": n_rows,

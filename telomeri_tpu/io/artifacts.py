@@ -28,7 +28,12 @@ SCHEMA = 1
 _EDGE_FIELDS = ("src", "dst", "os_", "es", "adv", "ue", "ve", "row",
                 "nm", "bl", "ol1", "ol2", "oh1", "oh2", "el")
 _GRAPH_FIELDS = ("nbr", "es", "os_", "adv", "eid", "deg", "seq_len",
-                 "edge_es", "edge_adv")
+                 "edge_es", "edge_adv",
+                 # the precomputed MC sampling cumsum: persisted so a resumed graph
+                 # is byte-equal to the freshly-built one (its int32 overflow guard
+                 # runs at tensorize time only); absent in older artifacts, where
+                 # the engine recomputes it
+                 "cumw")
 _PLAN_FIELDS = ("start", "first_edge", "mode", "uid", "active")
 _WALK_FIELDS = ("nodes", "eids", "steps", "success", "terminal", "path_len",
                 "score_sum")
@@ -63,7 +68,8 @@ def save_graph(path: str, edges: EdgeSoA, graph: GraphTensors,
         n_truncated_edges=np.int64(graph.n_truncated_edges),
         stats=json.dumps(graph.stats),
         **{f"edge_{f}": getattr(edges, f) for f in _EDGE_FIELDS},
-        **{f"graph_{f}": getattr(graph, f) for f in _GRAPH_FIELDS},
+        **{f"graph_{f}": getattr(graph, f) for f in _GRAPH_FIELDS
+           if getattr(graph, f) is not None},
     )
 
 
@@ -72,7 +78,7 @@ def load_graph(path: str, cfg: ScaffoldConfig | None = None
     z = np.load(path, allow_pickle=False)
     _check_header(z["header"], "graph", cfg)
     edges = EdgeSoA(**{f: z[f"edge_{f}"] for f in _EDGE_FIELDS})
-    kw = {f: z[f"graph_{f}"] for f in _GRAPH_FIELDS}
+    kw = {f: z[f"graph_{f}"] for f in _GRAPH_FIELDS if f"graph_{f}" in z}
     graph = GraphTensors(
         n_anchors=int(z["n_anchors"]),
         n_truncated_edges=int(z["n_truncated_edges"]),

@@ -123,6 +123,11 @@ def build_edges(
     Edge order is deterministic: kept rows in file order, forward edge then mirror edge
     interleaved per row.
     """
+    if len(paf) and (int(paf.qid.max()) >= n_seqs or int(paf.tid.max()) >= n_seqs
+                     or int(paf.qid.min()) < 0 or int(paf.tid.min()) < 0):
+        raise ValueError(
+            f"PAF sequence ids out of range [0, {n_seqs}) — name_index and "
+            f"sequence sets disagree")
     g = overlap_geometry(paf)
     st = FilterStats(n_rows=len(paf))
 

@@ -108,9 +108,19 @@ def parse_paf_columns(path: str):
             nbytes = lib.tel_paf_names_bytes(h, which)
             buf = ctypes.create_string_buffer(max(int(nbytes), 1))
             lib.tel_paf_copy_names(h, which, buf)
+            # decode the whole blob ONCE, then slice strings — per-row bytes
+            # slicing + .decode() was the hot spot on genome-scale PAFs. Byte
+            # offsets equal char offsets only while the blob is pure ASCII
+            # (true for real PAFs); otherwise fall back to per-row decoding.
             blob = buf.raw[:nbytes]
-            names.append(np.array(
-                [blob[off[i]:off[i + 1]].decode() for i in range(n)], dtype=object))
+            s = blob.decode()
+            o = off.tolist()
+            if len(s) == nbytes:
+                names.append(np.array(
+                    [s[o[i]:o[i + 1]] for i in range(n)], dtype=object))
+            else:
+                names.append(np.array(
+                    [blob[o[i]:o[i + 1]].decode() for i in range(n)], dtype=object))
         return names[0], names[1], ints
     finally:
         lib.tel_paf_free(h)

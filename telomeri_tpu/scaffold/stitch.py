@@ -202,13 +202,17 @@ def emit_scaffolds(
                 eid_path += wp.eids
         first_contig = min(n // 2 for n in node_path if n // 2 < n_contigs)
         sc = stitcher.stitch_chain(f"scaffold_{first_contig:05d}", node_path, eid_path)
-        scaffolds.append(sc)
+        scaffolds.append((first_contig, sc))
         used.update(n // 2 for n in node_path if n // 2 < n_contigs)
 
+    # documented order: bridged scaffolds first (by smallest member contig id,
+    # NUMERIC — zero-padded names would mis-sort past 99999 contigs), then
+    # untouched contigs as singletons by contig id
+    scaffolds.sort(key=lambda t: t[0])
+    out = [sc for _, sc in scaffolds]
     for c in range(n_contigs):
         if c not in used:
-            scaffolds.append(Scaffold(
+            out.append(Scaffold(
                 name=f"scaffold_{c:05d}", seq=stitcher.contigs.seqs[c],
                 parts=[("contig", c, 0)]))
-    scaffolds.sort(key=lambda s: s.name)
-    return scaffolds
+    return out

@@ -68,7 +68,9 @@ def fast_choice_fn(seed: int):
         r = rngs.get(uid)
         if r is None:
             r = rngs[uid] = random.Random((seed << 32) ^ uid)
-        tot = float(wts.sum())
+        tot = float(wts[wts > 0].sum())
+        if tot <= 0:
+            return -1  # dead end (no positive-weight candidate) — like the engine
         x = r.random() * tot
         acc = 0.0
         for j, v in enumerate(wts):
@@ -125,6 +127,8 @@ def walk_oracle(
                 break
 
         nxt = int(nbr[cur][choice])
+        if nxt < 0:
+            break  # chosen slot is padding (defensive: no choice_fn should do this)
         if mode == MODE_MC and nxt in path:
             break  # MC cycle kill: sampled an already-visited destination
         plen += int(adv[cur][choice])
