@@ -60,3 +60,31 @@ def test_resume_from_artifacts_identical_output(toy_dataset_dir, tmp_path):
     run_pipeline(args[0], args[1], None, None, out2, CFG,
                  graph_artifact=gp, walks_artifact=wp)
     assert open(out2, "rb").read() == open(out0, "rb").read()
+
+
+def test_graph_artifact_preserves_cumw(tmp_path):
+    """Resumed graphs must carry the tensorize-time MC cumsum byte-for-byte
+    (its int32 overflow guard runs only at tensorize time)."""
+    import numpy as np
+
+    from telomeri_tpu.config import ScaffoldConfig
+    from telomeri_tpu.io.artifacts import load_graph, save_graph
+    from telomeri_tpu.pipeline import build_graph, load_inputs
+    from telomeri_tpu.sim import SimConfig, simulate, write_dataset
+
+    d = str(tmp_path)
+    write_dataset(simulate(SimConfig(genome_len=16000, repeat_len=1000,
+                                     n_repeat_copies=2, read_len_mean=900,
+                                     read_len_sd=120, coverage=10.0,
+                                     error_rate=0.02, seed=0)), d)
+    cfg = ScaffoldConfig()
+    contigs, reads, paf = load_inputs(
+        f"{d}/contigs.fa", f"{d}/reads.fa",
+        f"{d}/read2contig.paf", f"{d}/read2read.paf")
+    edges, graph = build_graph(contigs, reads, paf, cfg)
+    assert graph.cumw is not None
+    p = f"{d}/g.npz"
+    save_graph(p, edges, graph, cfg)
+    _, g2 = load_graph(p, cfg)
+    assert g2.cumw is not None
+    assert np.array_equal(g2.cumw, graph.cumw)

@@ -105,3 +105,33 @@ def test_walkpath_mirror_roundtrip():
     assert m.nodes == [3, 7, 5, 1]
     assert m.eids == [5, 3, 1]
     assert m.mirrored().nodes == wp.nodes and m.mirrored().eids == wp.eids
+
+
+
+def test_emit_order_scaffolds_before_singletons():
+    """Documented output contract (stitch.py docstring): bridged scaffolds first
+    (by smallest member contig id, numeric), then singleton contigs."""
+    from telomeri_tpu.scaffold.bridge import resolve_conflicts
+    from telomeri_tpu.scaffold.stitch import emit_scaffolds
+
+    # contigs: c0 (untouched), c1 [0:6], c2 [8:14]; read r0 [4:10] bridges c1-c2
+    contigs = SequenceSet(["c0", "c1", "c2"],
+                          [_seq("TTTT"), _seq("AAAACC"), _seq("GGTTTT")])
+    reads = SequenceSet(["r0"], [_seq("CCGGGG")])
+    edges = EdgeSoA(
+        src=np.array([2, 7, 6, 5], np.int32),
+        dst=np.array([6, 3, 4, 7], np.int32),
+        os_=np.zeros(4, np.float32), es=np.zeros(4, np.float32),
+        adv=np.array([4, 4, 4, 4], np.int32),
+        ue=np.array([6, 6, 6, 6], np.int32),
+        ve=np.array([2, 2, 2, 2], np.int32),
+        row=np.zeros(4, np.int32),
+    )
+    accepted = resolve_conflicts([row((2, 4), 3, uid=0)])
+    assert len(accepted) == 1
+    paths = {0: WalkPath(nodes=[2, 6, 4], eids=[0, 2])}
+    st = Stitcher(contigs, reads, edges)
+    out = emit_scaffolds(accepted, paths, st)
+    assert [s.name for s in out] == ["scaffold_00001", "scaffold_00000"]
+    assert out[0].seq.tobytes() == b"AAAACCGGGGTTTT"
+    assert out[1].seq.tobytes() == b"TTTT"

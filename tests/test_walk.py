@@ -229,3 +229,27 @@ def test_no_anchor_ends_empty_result():
     r = run_walks_sectioned(graph_to_device(g), p, 0, n_anchors=g.n_anchors,
                             max_steps=8).to_numpy()
     assert len(r.steps) == 0
+
+
+def test_oracle_fast_choice_dead_end_no_phantom_success():
+    """fast_choice_fn on an all-zero-weight row must kill the walk, not pick
+    slot 0 and 'succeed' onto a pad neighbour (terminal=-1)."""
+    import numpy as np
+
+    from telomeri_tpu.graph.tensorize import GraphTensors
+    from telomeri_tpu.walk.oracle import fast_choice_fn, walk_oracle
+    from telomeri_tpu.walk.plan import MODE_MC
+
+    n, k = 8, 4
+    nbr = np.full((n, k), -1, np.int32)
+    es = np.zeros((n, k), np.float32)
+    # node 2 (an anchor end) has ONE edge to node 6, whose row is empty
+    nbr[2, 0], es[2, 0] = 6, 5.0
+    g = GraphTensors(nbr=nbr, es=es, os_=es.copy(),
+                     adv=np.ones((n, k), np.int32),
+                     eid=np.where(nbr >= 0, 0, -1).astype(np.int32),
+                     deg=(nbr >= 0).sum(1).astype(np.int32),
+                     seq_len=np.full(n // 2, 10, np.int32), n_anchors=1)
+    w = walk_oracle(g, 2, -1, MODE_MC, 0, 8, fast_choice_fn(0))
+    assert not w.success and w.terminal == -1
+    assert all(x >= 0 for x in w.nodes)
