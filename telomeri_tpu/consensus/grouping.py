@@ -91,6 +91,11 @@ def group_and_select(
     # jit arg, so one compiled consensus program serves every dataset of the same
     # walk-batch bucket (utils/shapes.py).
     w = s.start.shape[0]
+    if w == 0:  # no walks at all (e.g. empty PAF): nothing to group
+        zi = jnp.zeros(0, jnp.int32)
+        return ConsensusResult(
+            valid=jnp.zeros(0, bool), pair_a=zi, pair_b=zi, count=zi, bucket=zi,
+            rep_uid=zi, rep_score=jnp.zeros(0, jnp.float32))
 
     a = s.start.astype(jnp.int32)
     b = s.terminal.astype(jnp.int32)

@@ -67,3 +67,23 @@ def test_metrics_populated(result):
     assert m["metrics"]["n_walks"] > 0
     assert m["metrics"]["n_walks_successful"] > 0
     assert "run_walks" in m["timings_s"]
+
+
+def test_empty_paf_flows_through(tmp_path):
+    """Empty PAFs (no overlaps at all) must produce singleton scaffolds, not
+    crash (0-walk consensus early-out in grouping.py)."""
+    from telomeri_tpu.config import ScaffoldConfig
+    from telomeri_tpu.io.fasta import write_fasta
+    from telomeri_tpu.pipeline import run_pipeline
+
+    d = tmp_path
+    write_fasta(str(d / "c.fa"), ["c0", "c1"],
+                [np.frombuffer(b"ACGTACGTAC", np.uint8),
+                 np.frombuffer(b"TTTTGGGG", np.uint8)])
+    write_fasta(str(d / "r.fa"), ["r0"], [np.frombuffer(b"ACGTACGT", np.uint8)])
+    (d / "rc.paf").write_text("")
+    (d / "rr.paf").write_text("")
+    res = run_pipeline(str(d / "c.fa"), str(d / "r.fa"), str(d / "rc.paf"),
+                       str(d / "rr.paf"), str(d / "out.fa"), ScaffoldConfig())
+    assert [s.name for s in res.scaffolds] == ["scaffold_00000", "scaffold_00001"]
+    assert res.scaffolds[0].seq.tobytes() == b"ACGTACGTAC"
