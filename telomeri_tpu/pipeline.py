@@ -179,11 +179,11 @@ def run_pipeline(
     with metrics.stage("stitch"):
         lut = plan.uid_to_row()
         rep_uids = [b.rep_uid for b in accepted]
-        # records are device-resident + walk-sharded only when the walk stage ran
-        # under a mesh this run; a --walks artifact resume yields host numpy, which
-        # plain indexing handles (routing it through the device gather would ship
-        # the full table through the mesh for nothing)
-        if mesh is not None and not walks_artifact:
+        # the device gather is only for records that are NOT host-addressable
+        # (device-resident + walk-sharded, i.e. the walk stage ran under a mesh
+        # this run); host-numpy records — single-device runs and --walks artifact
+        # resumes — use plain indexing
+        if mesh is not None and not isinstance(walks.nodes, np.ndarray):
             from telomeri_tpu.dist.mesh import fetch_walk_rows
 
             mini = fetch_walk_rows(

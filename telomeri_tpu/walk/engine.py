@@ -167,7 +167,7 @@ def _run_walks_kind(
     """
     w = p.start.shape[0]
     k = g.os_.shape[1]
-    anchor_lim = jnp.asarray(2 * jnp.asarray(n_anchors, jnp.int32), jnp.int32)
+    anchor_lim = 2 * jnp.asarray(n_anchors, jnp.int32)
     use_mc = kind in ("mixed", "mc")
     use_greedy = kind in ("mixed", "greedy")
     if use_mc:
