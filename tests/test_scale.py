@@ -63,3 +63,24 @@ def test_ecoli_preset_end_to_end(tmp_path):
     n = min(len(genome), len(s))
     assert abs(len(s) - len(genome)) < 0.01 * len(genome)
     assert (genome[:n] == s[:n]).mean() > 0.98
+
+
+def test_repeats_longer_than_reads(tmp_path):
+    """HERA's core claim: repeats much LONGER than any single read are resolved
+    by multi-read path walks + length-histogram consensus. Repeat copies are
+    exact, so a misjoin between copies would corrupt flank order — full-genome
+    byte reconstruction proves every junction was paired correctly."""
+    sim = simulate(SimConfig(
+        genome_len=150_000, repeat_len=12_000, n_repeat_copies=3,
+        read_len_mean=1_500, read_len_sd=200, coverage=18.0,
+        error_rate=0.02, seed=42))
+    d = str(tmp_path / "data")
+    write_dataset(sim, d)
+    res = run_pipeline(
+        f"{d}/contigs.fa", f"{d}/reads.fa", f"{d}/read2contig.paf",
+        f"{d}/read2read.paf", str(tmp_path / "s.fa"),
+        ScaffoldConfig(mc_walks_per_end=200, max_steps=32))
+    assert len(res.scaffolds) == 1
+    sc = res.scaffolds[0].seq
+    assert len(sc) == len(sim.genome)
+    assert float(np.mean(sc == sim.genome)) > 0.99
