@@ -168,7 +168,19 @@ def run_pipeline(
 
     n_succ = int(np.asarray(jnp.sum(walks.success)))  # works on sharded records too
     metrics.set("n_walks_successful", n_succ)
-    log.info("walks: %d planned, %d successful", plan.n_active, n_succ)
+    # truncated = ran to the step bound without reaching an anchor: the signal for
+    # sizing max_steps (SURVEY.md §7 "walk divergence"). A high share means real
+    # bridge paths may be longer than the bound allows.
+    n_trunc = int(np.asarray(jnp.sum(
+        (walks.steps >= cfg.max_steps) & ~walks.success)))
+    metrics.set("n_walks_truncated", n_trunc)
+    log.info("walks: %d planned, %d successful, %d truncated at max_steps=%d",
+             plan.n_active, n_succ, n_trunc, cfg.max_steps)
+    if plan.n_active and n_trunc > 0.2 * plan.n_active:
+        log.warning(
+            "%.0f%% of walks truncated at max_steps=%d — real bridge paths may "
+            "be longer; consider raising --max-steps",
+            100 * n_trunc / plan.n_active, cfg.max_steps)
     metrics.set("n_bridges_candidate", len(bridges))
 
     with metrics.stage("resolve_conflicts"):
