@@ -67,6 +67,16 @@ def build_parser() -> argparse.ArgumentParser:
     t = sub.add_parser("stats", help="print assembly stats (N50 etc.) for FASTA/FASTQ files")
     t.add_argument("fastx", nargs="+", help="FASTA/FASTQ files (.gz ok)")
 
+    v = sub.add_parser(
+        "validate",
+        help="place scaffolds on a known reference genome and report identity "
+             "(substitution-only validator for simulated/benchmark data)")
+    v.add_argument("--scaffolds", required=True, help="scaffolds FASTA")
+    v.add_argument("--genome", required=True, help="reference genome FASTA")
+    v.add_argument("--seed-kmer", type=int, default=32, help="exact seed length")
+    v.add_argument("--seed-tries", type=int, default=16,
+                   help="seed positions tried per scaffold per strand")
+
     g = sub.add_parser("simulate", help="generate a synthetic test dataset")
     g.add_argument("--out", required=True, help="output directory")
     from telomeri_tpu.sim import PRESETS, SimConfig
@@ -115,6 +125,18 @@ def main(argv: list[str] | None = None) -> int:
         # without materializing whole-genome sequence bytes
         out = {p: assembly_stats(read_fasta(p, lazy="auto").lengths) for p in args.fastx}
         print(json.dumps(out, indent=2, sort_keys=True))
+        return 0
+
+    if args.cmd == "validate":
+        import json
+
+        from telomeri_tpu.io.fasta import read_fasta
+        from telomeri_tpu.utils.validate import validate_assembly
+
+        report = validate_assembly(
+            read_fasta(args.scaffolds), read_fasta(args.genome),
+            k=args.seed_kmer, tries=args.seed_tries)
+        print(json.dumps(report, indent=2, sort_keys=True))
         return 0
 
     if args.cmd == "simulate":
