@@ -88,18 +88,22 @@ def bench_oracle(cfg, graph, plan, budget_s: float = 10.0, max_walks: int = 300)
     idx = np.flatnonzero(plan.active)
     sel = idx[np.linspace(0, len(idx) - 1, min(max_walks, len(idx))).astype(int)]
     choice = fast_choice_fn(cfg.mc_seed)
-    t0 = time.perf_counter()
-    n = 0
-    for i in sel:
-        walk_oracle(graph, int(plan.start[i]), int(plan.first_edge[i]),
-                    int(plan.mode[i]), int(plan.uid[i]), cfg.max_steps, choice)
-        n += 1
-        if time.perf_counter() - t0 > budget_s:
-            break
-    dt = time.perf_counter() - t0
-    walks_per_s = n / dt
-    log(f"oracle baseline: {n} walks in {dt:.2f}s -> {walks_per_s:,.1f} walks/s "
-        f"(single core)")
+    # median of 3 passes: the 2-core host's scheduling noise otherwise swings
+    # the baseline (and vs_baseline) by ~1.5x run-to-run
+    rates = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        n = 0
+        for i in sel:
+            walk_oracle(graph, int(plan.start[i]), int(plan.first_edge[i]),
+                        int(plan.mode[i]), int(plan.uid[i]), cfg.max_steps, choice)
+            n += 1
+            if time.perf_counter() - t0 > budget_s / 3:
+                break
+        rates.append(n / (time.perf_counter() - t0))
+    walks_per_s = float(np.median(rates))
+    log(f"oracle baseline: median {walks_per_s:,.1f} walks/s over 3 passes "
+        f"(single core; passes {[f'{r:,.0f}' for r in rates]})")
     return walks_per_s
 
 
