@@ -48,10 +48,12 @@ def build_parser() -> argparse.ArgumentParser:
     s = sub.add_parser("scaffold", help="bridge contigs across repeats using long reads")
     s.add_argument("--contigs", required=True, help="draft contigs FASTA")
     s.add_argument("--reads", required=True, help="long reads FASTA/FASTQ")
-    s.add_argument("--paf-read-contig",
-                   help="minimap2 PAF: reads vs contigs (omit when resuming --graph)")
-    s.add_argument("--paf-read-read",
-                   help="minimap2 PAF: reads vs reads (omit when resuming --graph)")
+    s.add_argument("--paf-read-contig", nargs="+",
+                   help="minimap2 PAF: reads vs contigs — one or more files, e.g. "
+                        "chunked runs (omit when resuming --graph)")
+    s.add_argument("--paf-read-read", nargs="+",
+                   help="minimap2 PAF: reads vs reads — one or more files "
+                        "(omit when resuming --graph)")
     s.add_argument("--out", required=True, help="output scaffolds FASTA")
     s.add_argument("--config", help="ScaffoldConfig JSON (flags override it)")
     s.add_argument("--graph", help="resume: load tensorized graph artifact (.npz)")
@@ -62,6 +64,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="shard walk batches over the first N devices (0 = single device)")
     s.add_argument("--trace", metavar="DIR",
                    help="write a jax.profiler trace of the device phase to DIR")
+    s.add_argument("--agp", metavar="FILE",
+                   help="also write scaffold composition as AGP v2.1")
     _add_config_flags(s)
 
     t = sub.add_parser("stats", help="print assembly stats (N50 etc.) for FASTA/FASTQ files")
@@ -172,7 +176,7 @@ def main(argv: list[str] | None = None) -> int:
                            args.paf_read_read, args.out, cfg, metrics, mesh=mesh,
                            graph_artifact=args.graph, save_graph_path=args.save_graph,
                            walks_artifact=args.walks, save_walks_path=args.save_walks,
-                           trace_dir=args.trace)
+                           trace_dir=args.trace, agp_path=args.agp)
         with open(args.out + ".config.json", "w") as f:
             f.write(cfg.to_json())
         metrics.dump(args.out + ".metrics.json")

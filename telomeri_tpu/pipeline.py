@@ -7,6 +7,7 @@ cli.main -> config -> io.ingest (host) -> graph.tensorize -> [device] walks -> c
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 import numpy as np
@@ -36,9 +37,14 @@ class PipelineResult:
     metrics: Metrics
 
 
-def load_inputs(contigs_path: str, reads_path: str, paf_rc_path: str, paf_rr_path: str,
+def load_inputs(contigs_path: str, reads_path: str, paf_rc_path, paf_rr_path,
                 metrics: Metrics | None = None, lazy: str = "auto"):
-    """Host ingest: sequences + name table + concatenated PAF rows."""
+    """Host ingest: sequences + name table + concatenated PAF rows.
+
+    paf_rc_path / paf_rr_path accept a single path or a list of paths (chunked
+    minimap2 runs are common at genome scale); rows keep file-then-line order,
+    so the result is deterministic and identical to a pre-concatenated file."""
+    as_list = lambda p: [p] if isinstance(p, (str, bytes, os.PathLike)) else list(p)
     metrics = metrics or Metrics()
     with metrics.stage("load_sequences"):
         contigs = read_fasta(contigs_path, lazy=lazy)
@@ -49,10 +55,9 @@ def load_inputs(contigs_path: str, reads_path: str, paf_rc_path: str, paf_rr_pat
             raise ValueError(f"read name {n!r} collides with a contig name")
         name_index[n] = len(contigs) + i
     with metrics.stage("parse_paf"):
-        paf = PafRecords.concatenate([
-            parse_paf(paf_rc_path, name_index),
-            parse_paf(paf_rr_path, name_index),
-        ])
+        paf = PafRecords.concatenate(
+            [parse_paf(p, name_index) for p in as_list(paf_rc_path)]
+            + [parse_paf(p, name_index) for p in as_list(paf_rr_path)])
     return contigs, reads, paf
 
 
@@ -96,6 +101,7 @@ def run_pipeline(
     walks_artifact: str | None = None,
     save_walks_path: str | None = None,
     trace_dir: str | None = None,
+    agp_path: str | None = None,
 ) -> PipelineResult:
     """Full pipeline. Pass a jax.sharding.Mesh to shard walk batches data-parallel
     (SURVEY.md §4.2); omit it for the single-device path. graph/walks artifacts
@@ -224,6 +230,11 @@ def run_pipeline(
     if out_path:
         with metrics.stage("write_fasta"):
             write_fasta(out_path, [s.name for s in scaffolds], [s.seq for s in scaffolds])
+    if agp_path:
+        from telomeri_tpu.scaffold.stitch import write_agp
+
+        with metrics.stage("write_agp"):
+            write_agp(agp_path, scaffolds, contigs, reads)
 
     return PipelineResult(
         scaffolds=scaffolds, graph=graph, edges=edges, plan=plan, walks=walks,

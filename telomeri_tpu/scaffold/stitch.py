@@ -57,15 +57,25 @@ def extract_path(walk_nodes: np.ndarray, walk_eids: np.ndarray, steps: int) -> W
 class Scaffold:
     name: str
     seq: np.ndarray
-    # composition: list of (kind, id, orient) tuples; kind in {"contig", "read"}
+    # composition of the PATH: list of (kind, id, orient); kind in {"contig", "read"}
     parts: list[tuple[str, int, int]] = field(default_factory=list)
+    # emitted spans after splicing (AGP source): list of
+    # (kind, id, orient, src_start, scaffold_start, length) where src_start is in
+    # the component's ORIENTED frame (the frame the bytes were taken from); a
+    # path part spliced out entirely by a later trim has no segment
+    segments: list[tuple[str, int, int, int, int, int]] = field(default_factory=list)
 
 
 class _Splicer:
-    """Growing byte sequence with trim-to-position splicing."""
+    """Growing byte sequence with trim-to-position splicing.
 
-    def __init__(self, first: np.ndarray):
+    Each appended chunk carries optional metadata; segments() reports the
+    surviving spans with their final scaffold coordinates (chunks fully removed
+    by trims disappear, truncated chunks report their shortened length)."""
+
+    def __init__(self, first: np.ndarray, meta=None):
         self.chunks: list[np.ndarray] = [first]
+        self.metas: list = [meta]
         self.length = len(first)
 
     def trim_to(self, n: int) -> None:
@@ -76,17 +86,27 @@ class _Splicer:
             if len(last) <= drop:
                 drop -= len(last)
                 self.chunks.pop()
+                self.metas.pop()
             else:
                 self.chunks[-1] = last[: len(last) - drop]
                 drop = 0
         self.length = n
 
-    def append(self, a: np.ndarray) -> None:
+    def append(self, a: np.ndarray, meta=None) -> None:
         self.chunks.append(a)
+        self.metas.append(meta)
         self.length += len(a)
 
     def result(self) -> np.ndarray:
         return np.concatenate(self.chunks) if self.chunks else np.empty(0, np.uint8)
+
+    def segments(self) -> list:
+        out, pos = [], 0
+        for chunk, meta in zip(self.chunks, self.metas):
+            if len(chunk) and meta is not None:
+                out.append((*meta, pos, len(chunk)))
+            pos += len(chunk)
+        return out
 
 
 class Stitcher:
@@ -110,7 +130,8 @@ class Stitcher:
 
     def stitch_chain(self, name: str, node_path: list[int], eid_path: list[int]) -> Scaffold:
         """Splice a full chain path (anchors and reads interleaved)."""
-        sp = _Splicer(self.seq_of(node_path[0]))
+        sp = _Splicer(self.seq_of(node_path[0]),
+                      meta=(*self.kind_of(node_path[0]), 0))
         g_u = 0
         parts = [self.kind_of(node_path[0])]
         for node, eid in zip(node_path[1:], eid_path):
@@ -124,10 +145,11 @@ class Stitcher:
             cut = g_u + ue
             sp.trim_to(cut)
             seq_v = self.seq_of(node)
-            sp.append(seq_v[ve:])
+            sp.append(seq_v[ve:], meta=(*self.kind_of(node), ve))
             g_u = cut - ve
             parts.append(self.kind_of(node))
-        return Scaffold(name=name, seq=sp.result(), parts=parts)
+        return Scaffold(name=name, seq=sp.result(), parts=parts,
+                        segments=sp.segments())
 
 
 def build_chains(accepted: list[Bridge], paths: dict[int, WalkPath],
@@ -212,7 +234,35 @@ def emit_scaffolds(
     out = [sc for _, sc in scaffolds]
     for c in range(n_contigs):
         if c not in used:
+            seq = stitcher.contigs.seqs[c]
             out.append(Scaffold(
-                name=f"scaffold_{c:05d}", seq=stitcher.contigs.seqs[c],
-                parts=[("contig", c, 0)]))
+                name=f"scaffold_{c:05d}", seq=seq,
+                parts=[("contig", c, 0)],
+                segments=[("contig", c, 0, 0, 0, len(seq))]))
     return out
+
+
+def write_agp(path: str, scaffolds: list[Scaffold], contigs, reads) -> None:
+    """Write an AGP v2.1 file describing scaffold composition.
+
+    One W (WGS component) line per emitted segment; our scaffolds are fully
+    spliced, so there are no gap (N/U) lines. Component coordinates are 1-based
+    inclusive in the component's FORWARD frame; orientation - means the segment
+    bytes came from the reverse complement. Round-trip property (tested):
+    concatenating the oriented component slices reproduces the scaffold
+    sequence byte-for-byte."""
+    with open(path, "w") as f:
+        f.write("##agp-version\t2.1\n")
+        for sc in scaffolds:
+            for i, (kind, sid, orient, src_start, sc_start, ln) in enumerate(
+                    sc.segments, start=1):
+                seqs = contigs if kind == "contig" else reads
+                comp_len = int(seqs.lengths[sid])
+                if orient == 0:
+                    beg, end = src_start + 1, src_start + ln
+                else:  # oriented frame is the reverse complement of forward
+                    beg = comp_len - (src_start + ln) + 1
+                    end = comp_len - src_start
+                f.write("\t".join(map(str, (
+                    sc.name, sc_start + 1, sc_start + ln, i, "W",
+                    seqs.names[sid], beg, end, "-" if orient else "+"))) + "\n")

@@ -87,3 +87,30 @@ def test_empty_paf_flows_through(tmp_path):
                        str(d / "rr.paf"), str(d / "out.fa"), ScaffoldConfig())
     assert [s.name for s in res.scaffolds] == ["scaffold_00000", "scaffold_00001"]
     assert res.scaffolds[0].seq.tobytes() == b"ACGTACGTAC"
+
+
+def test_multiple_paf_files_equal_single(tmp_path):
+    """Chunked PAF inputs (lists of files) must produce byte-identical output to
+    the single concatenated file (load_inputs docstring)."""
+    from telomeri_tpu.config import ScaffoldConfig
+    from telomeri_tpu.pipeline import run_pipeline
+    from telomeri_tpu.sim import SimConfig, simulate, write_dataset
+
+    d = str(tmp_path / "data")
+    write_dataset(simulate(SimConfig(genome_len=40_000, repeat_len=2_000,
+                                     n_repeat_copies=2, read_len_mean=1_500,
+                                     read_len_sd=200, coverage=12.0,
+                                     error_rate=0.02, seed=5)), d)
+    # split read2read.paf into two chunks
+    lines = open(f"{d}/read2read.paf").readlines()
+    mid = len(lines) // 2
+    open(f"{d}/rr_a.paf", "w").writelines(lines[:mid])
+    open(f"{d}/rr_b.paf", "w").writelines(lines[mid:])
+
+    cfg = ScaffoldConfig(mc_walks_per_end=50)
+    r1 = run_pipeline(f"{d}/contigs.fa", f"{d}/reads.fa", f"{d}/read2contig.paf",
+                      f"{d}/read2read.paf", str(tmp_path / "one.fa"), cfg)
+    r2 = run_pipeline(f"{d}/contigs.fa", f"{d}/reads.fa", [f"{d}/read2contig.paf"],
+                      [f"{d}/rr_a.paf", f"{d}/rr_b.paf"], str(tmp_path / "two.fa"),
+                      cfg)
+    assert (tmp_path / "one.fa").read_bytes() == (tmp_path / "two.fa").read_bytes()

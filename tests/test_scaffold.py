@@ -135,3 +135,40 @@ def test_emit_order_scaffolds_before_singletons():
     assert [s.name for s in out] == ["scaffold_00001", "scaffold_00000"]
     assert out[0].seq.tobytes() == b"AAAACCGGGGTTTT"
     assert out[1].seq.tobytes() == b"TTTT"
+
+
+def test_agp_roundtrip(tmp_path):
+    """AGP property: concatenating the oriented component slices named by the
+    AGP rows reproduces each scaffold byte-for-byte (write_agp docstring)."""
+    from telomeri_tpu.config import ScaffoldConfig
+    from telomeri_tpu.io.fasta import read_fasta, reverse_complement
+    from telomeri_tpu.pipeline import run_pipeline
+    from telomeri_tpu.sim import SimConfig, simulate, write_dataset
+
+    d = str(tmp_path / "data")
+    write_dataset(simulate(SimConfig(genome_len=40_000, repeat_len=2_000,
+                                     n_repeat_copies=2, read_len_mean=1_500,
+                                     read_len_sd=200, coverage=12.0,
+                                     error_rate=0.02, seed=5)), d)
+    out = str(tmp_path / "s.fa")
+    agp = str(tmp_path / "s.agp")
+    run_pipeline(f"{d}/contigs.fa", f"{d}/reads.fa", f"{d}/read2contig.paf",
+                 f"{d}/read2read.paf", out, ScaffoldConfig(mc_walks_per_end=50),
+                 agp_path=agp)
+    scaffolds = read_fasta(out)
+    comp = {}
+    for s in (read_fasta(f"{d}/contigs.fa"), read_fasta(f"{d}/reads.fa")):
+        for i, n in enumerate(s.names):
+            comp[n] = np.asarray(s.seqs[i])
+    rebuilt: dict[str, list] = {}
+    rows = [l.split("\t") for l in open(agp) if not l.startswith("#")]
+    assert rows, "AGP has no component rows"
+    for obj, obeg, oend, pn, ctype, cid, cbeg, cend, orient in rows:
+        assert ctype == "W"
+        seg = comp[cid][int(cbeg) - 1:int(cend)]
+        if orient.strip() == "-":
+            seg = reverse_complement(seg)
+        rebuilt.setdefault(obj, []).append((int(obeg), seg))
+    for i, name in enumerate(scaffolds.names):
+        pieces = [s for _, s in sorted(rebuilt[name], key=lambda t: t[0])]
+        assert np.array_equal(np.concatenate(pieces), scaffolds.seqs[i]), name
