@@ -43,6 +43,7 @@ def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(prog="telomeri-tpu",
                                  description="TPU-native repeat-resolving scaffolder")
     ap.add_argument("-v", "--verbose", action="store_true")
+    ap.add_argument("--version", action="version", version="telomeri-tpu 0.1.0")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     s = sub.add_parser("scaffold", help="bridge contigs across repeats using long reads")

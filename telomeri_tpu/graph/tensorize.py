@@ -149,6 +149,12 @@ def tensorize(
             "n_nodes_padded": n_rows,
             "n_edges": len(edges),
             "max_degree_observed": int(deg_full.max()) if n_nodes else 0,
+            # out-degree percentiles over CONNECTED real nodes — the signal for
+            # sizing cfg.max_degree (truncation hits rows above K)
+            "degree_p50_p90_p99": [
+                int(v) for v in np.percentile(
+                    deg_full[:n_nodes][deg_full[:n_nodes] > 0], [50, 90, 99])
+            ] if n_nodes and (deg_full[:n_nodes] > 0).any() else [0, 0, 0],
             "k": k,
             "n_truncated_edges": n_trunc,
         },
