@@ -87,11 +87,11 @@ def bench_oracle(cfg, graph, plan, budget_s: float = 10.0, max_walks: int = 300)
 
     idx = np.flatnonzero(plan.active)
     sel = idx[np.linspace(0, len(idx) - 1, min(max_walks, len(idx))).astype(int)]
-    choice = fast_choice_fn(cfg.mc_seed)
     # median of 3 passes: the 2-core host's scheduling noise otherwise swings
     # the baseline (and vs_baseline) by ~1.5x run-to-run
     rates = []
     for _ in range(3):
+        choice = fast_choice_fn(cfg.mc_seed)  # fresh RNG: identical workload per pass
         t0 = time.perf_counter()
         n = 0
         for i in sel:

@@ -139,7 +139,8 @@ def main(argv: list[str] | None = None) -> int:
         from telomeri_tpu.utils.validate import validate_assembly
 
         report = validate_assembly(
-            read_fasta(args.scaffolds), read_fasta(args.genome),
+            read_fasta(args.scaffolds, lazy="auto"),
+            read_fasta(args.genome, lazy="auto"),
             k=args.seed_kmer, tries=args.seed_tries)
         print(json.dumps(report, indent=2, sort_keys=True))
         return 0

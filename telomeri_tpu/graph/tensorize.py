@@ -135,6 +135,8 @@ def tensorize(
         nbr, eid = pad2(nbr, -1), pad2(eid, -1)
         es, os_, adv, cumw = (pad2(a, 0) for a in (es, os_, adv, cumw))
         deg_full = np.pad(deg_full, (0, rpad))
+    real_deg = deg_full[:n_nodes]
+    pos_deg = real_deg[real_deg > 0]
     return GraphTensors(
         nbr=nbr, es=es, os_=os_, adv=adv, eid=eid,
         deg=np.minimum(deg_full, k).astype(np.int32),
@@ -151,10 +153,9 @@ def tensorize(
             "max_degree_observed": int(deg_full.max()) if n_nodes else 0,
             # out-degree percentiles over CONNECTED real nodes — the signal for
             # sizing cfg.max_degree (truncation hits rows above K)
-            "degree_p50_p90_p99": [
-                int(v) for v in np.percentile(
-                    deg_full[:n_nodes][deg_full[:n_nodes] > 0], [50, 90, 99])
-            ] if n_nodes and (deg_full[:n_nodes] > 0).any() else [0, 0, 0],
+            "degree_p50_p90_p99": (
+                [int(v) for v in np.percentile(pos_deg, [50, 90, 99])]
+                if pos_deg.size else [0, 0, 0]),
             "k": k,
             "n_truncated_edges": n_trunc,
         },

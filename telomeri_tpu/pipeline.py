@@ -90,8 +90,8 @@ def build_graph(contigs: SequenceSet, reads: SequenceSet, paf: PafRecords,
 def run_pipeline(
     contigs_path: str,
     reads_path: str,
-    paf_rc_path: str,
-    paf_rr_path: str,
+    paf_rc_path: str | list[str] | None,
+    paf_rr_path: str | list[str] | None,
     out_path: str | None,
     cfg: ScaffoldConfig = ScaffoldConfig(),
     metrics: Metrics | None = None,

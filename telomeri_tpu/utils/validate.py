@@ -27,7 +27,9 @@ class Placement:
     scaffold: str
     genome: str | None      # reference sequence name, None if unplaced
     strand: int             # +1 / -1 (0 if unplaced)
-    offset: int             # genome position of scaffold base 0 (may be negative)
+    offset: int             # forward-genome start of the PLACED (oriented)
+    #                         scaffold sequence (may be negative); for strand -1
+    #                         this is where rc(scaffold) begins on the genome
     span: int               # overlapping bases compared
     identity: float         # matching fraction over the span (0.0 if unplaced)
 
@@ -43,46 +45,47 @@ def _seed_offsets(n: int, k: int, tries: int) -> list[int]:
     return sorted({int(p) for p in np.linspace(0, n - k, tries)})
 
 
-def locate(scaffold: np.ndarray, genome: np.ndarray, k: int = 32,
-           tries: int = 16) -> tuple[int, int] | None:
-    """Find (strand, offset) placing `scaffold` on `genome` via an exact seed.
-
-    Tries `tries` k-mers spread along the scaffold on both strands; returns the
-    first hit. None when no error-free seed matches (unplaced)."""
-    gb = genome.tobytes()
-    for strand, seq in ((1, scaffold), (-1, reverse_complement(scaffold))):
-        sb = seq.tobytes()
-        for p in _seed_offsets(len(sb), k, tries):
-            q = gb.find(sb[p:p + k])
-            if q >= 0:
-                off = q - p
-                if strand == 1:
-                    return 1, off
-                # offset of the ORIGINAL scaffold's base 0 on the forward genome:
-                # rc(scaffold) starts at genome position off, so scaffold base 0
-                # (= rc end) sits at off + len - 1 reading backwards; report the
-                # rc placement's forward-frame start
-                return -1, off
-    return None
+_ACCEPT = 0.95  # a candidate this good is certainly the true placement
 
 
-def place_scaffold(name: str, scaffold: np.ndarray, genomes: dict[str, np.ndarray],
-                   k: int = 32, tries: int = 16) -> Placement:
+def _identity_at(seq: np.ndarray, genome: np.ndarray, off: int) -> tuple[int, float]:
+    lo = max(0, off)
+    hi = min(len(genome), off + len(seq))
+    if hi <= lo:
+        return 0, 0.0
+    g = genome[lo:hi]
+    s = seq[lo - off:hi - off]
+    return int(hi - lo), float(np.mean(g == s))
+
+
+def place_scaffold(name: str, scaffold: np.ndarray, genomes: dict, k: int = 32,
+                   tries: int = 16) -> Placement:
+    """Best placement of `scaffold` across reference sequences.
+
+    Every exact seed hit is EVALUATED by positional identity and the best kept —
+    a seed landing inside a repeat matches the wrong copy and scores ~25%, while
+    some other seed in unique flanking sequence scores high, so first-hit
+    placement would false-alarm exactly where misjoin detection matters.
+    genomes: {name: array} or {name: (array, bytes)} (bytes precomputed once by
+    validate_assembly; arrays alone also accepted for direct use)."""
+    best = Placement(name, None, 0, 0, 0, 0.0)
+    oriented = {1: scaffold, -1: reverse_complement(scaffold)}
     for gname, genome in genomes.items():
-        hit = locate(scaffold, genome, k, tries)
-        if hit is None:
-            continue
-        strand, off = hit
-        seq = scaffold if strand == 1 else reverse_complement(scaffold)
-        lo = max(0, off)
-        hi = min(len(genome), off + len(seq))
-        if hi <= lo:
-            continue
-        g = genome[lo:hi]
-        s = seq[lo - off:hi - off]
-        ident = float(np.mean(g == s)) if len(g) else 0.0
-        return Placement(name, gname, strand, off, int(hi - lo), ident)
-    return Placement(name, None, 0, 0, 0, 0.0)
+        garr, gb = genome if isinstance(genome, tuple) else (genome, genome.tobytes())
+        for strand, seq in oriented.items():
+            sb = seq.tobytes()
+            tried: set[int] = set()
+            for p in _seed_offsets(len(sb), k, tries):
+                q = gb.find(sb[p:p + k])
+                if q < 0 or (q - p) in tried:
+                    continue
+                tried.add(q - p)
+                span, ident = _identity_at(seq, garr, q - p)
+                if ident > best.identity:
+                    best = Placement(name, gname, strand, q - p, span, ident)
+                    if ident >= _ACCEPT:
+                        return best
+    return best
 
 
 def validate_assembly(scaffolds, genomes, k: int = 32, tries: int = 16) -> dict:
@@ -91,11 +94,14 @@ def validate_assembly(scaffolds, genomes, k: int = 32, tries: int = 16) -> dict:
     scaffolds/genomes: SequenceSet-shaped (names + seqs). Returns a JSON-ready
     report: per-scaffold placements plus summary (placed fraction, identity
     weighted by span, worst identity — the misjoin flag)."""
-    gmap = {n: np.asarray(genomes.seqs[i]) for i, n in enumerate(genomes.names)}
+    gmap = {}
+    for i, n in enumerate(genomes.names):
+        arr = np.asarray(genomes.seqs[i])
+        gmap[n] = (arr, arr.tobytes())   # bytes built ONCE, reused per scaffold
     placements = [
         place_scaffold(n, np.asarray(scaffolds.seqs[i]), gmap, k, tries)
         for i, n in enumerate(scaffolds.names)]
-    total = int(sum(len(scaffolds.seqs[i]) for i in range(len(scaffolds.names))))
+    total = int(np.sum(scaffolds.lengths))
     placed_span = sum(p.span for p in placements)
     wsum = sum(p.identity * p.span for p in placements)
     placed = [p for p in placements if p.genome is not None]

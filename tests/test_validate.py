@@ -60,3 +60,16 @@ def test_validate_assembly_report():
     rep = validate_assembly(scaffolds, genomes)
     assert rep["n_placed"] == 2 and rep["placed_fraction"] == 1.0
     assert rep["mean_identity"] == 1.0 and rep["worst_identity"] == 1.0
+
+
+def test_repeat_seed_does_not_misplace():
+    """A seed landing inside a repeat matches the WRONG copy; best-of-candidates
+    placement must pick the unique-sequence placement, not false-alarm."""
+    rng = np.random.default_rng(8)
+    R = _rand_seq(200, 9)
+    A = _rand_seq(3000, 10)
+    B = _rand_seq(3000, 11)
+    g = np.concatenate([R, A, R, B])          # repeat at 0 and 3200
+    s = g[3200:].copy()                       # scaffold starts INSIDE repeat copy 2
+    p = place_scaffold("s", s, {"g": g}, k=32, tries=16)
+    assert p.identity == 1.0 and p.offset == 3200 and p.strand == 1
