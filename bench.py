@@ -54,11 +54,13 @@ def build_problem(mc_walks_per_end: int):
 def bench_walks(cfg, graph, plan, repeats: int):
     import jax
 
-    from telomeri_tpu.walk.engine import graph_to_device, run_walks_sectioned
+    from telomeri_tpu.walk.engine import (
+        graph_to_device, prepare_plan_sections, run_walks_prepared)
 
     gd = graph_to_device(graph)
-    run = lambda seed: run_walks_sectioned(
-        gd, plan, seed, n_anchors=graph.n_anchors, max_steps=cfg.max_steps)
+    sections = prepare_plan_sections(plan)   # plan upload once, not per call
+    run = lambda seed: run_walks_prepared(
+        gd, sections, seed, n_anchors=graph.n_anchors, max_steps=cfg.max_steps)
     t0 = time.perf_counter()
     res = run(cfg.mc_seed)
     n_succ = int(np.asarray(res.success).sum())   # forces full materialization

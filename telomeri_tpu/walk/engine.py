@@ -7,26 +7,33 @@ SURVEY.md §3 rows 7-10; §4.1 "HOT LOOP"; mount empty, SURVEY.md §0). TPU-nati
 padded CSR plus VPU masking/argmax/sampling. No data-dependent control flow.
 
 Performance structure (profiled on TPU v5e — see BASELINE.md):
-  - The scan body touches ONLY the tables its decisions need: the packed
-    [nbr | cum] rows always (greedy reads just the nbr half of the one fetch —
-    the spare cum bytes are cheaper than a second table for the 2%-of-batch
-    greedy sections), plus OS rows for greedy-OS walks. Greedy-ES needs NO score
-    gather at all: CSR rows are pre-sorted by (ES desc, dst asc), so greedy-ES
-    = first valid slot.
+  - Each scan step issues ONE contiguous (W, 6H) row gather from the wide per-node
+    table (GraphDev.wide: [nbr | cum | eid | adv | es | 0] blocks): the transition,
+    the MC draw (in-register compare-count over the cum block: first slot with
+    cum > r), and the chosen slot's edge attributes all resolve from that single
+    fetch with one-hot lane reduces. Scattered-gather OP COUNT, not bytes, is what
+    dominates on TPU — per-row latency was flat from 40 to 128 int32 lanes — so
+    one wide fetch beats narrow fetch + separate recon gather (+23%) and beats
+    per-element chased gathers (~2.6x).
+  - Row widths are padded to whole 128-lane tiles (H = 64/128/...): Mosaic falls
+    off the fast row-gather path for odd widths — a (49k, 80) gather measured 6x
+    SLOWER than (49k, 128) on v5e. nbr/eid pad = -1, adv/es pad = 0, cum pad = row
+    total so pads are never sampled.
   - ALL RNG is hoisted out of the scan: the (S, W) table of per-step uniform bits is
-    generated in one batched op before the scan (same fold_in tree, same bits), so
-    the scan's serial critical path carries no threefry hashing (~1.4x).
-  - Each scan step issues ONE contiguous (W, 2K) row gather from the packed
-    [nbr | cum] table (GraphDev.nbrcum); the MC draw resolves in-register with a
-    compare-count over the cumsum half (first slot with cum > r). This replaces the
-    earlier ceil(log2 K) serially-dependent single-element gathers (~2.6x; gather op
-    count, not bytes, dominates — dependent scattered gathers are the worst access
-    pattern on TPU).
-  - The scan emits just the chosen CSR slot per step. Edge ids, advances (path_len)
-    and ES sums (score_sum) are reconstructed AFTER the scan with ONE packed (W, S)
-    gather from the (N*K, 4) [eid, adv, es] recon table (GraphDev.rec) — removing
-    three (W, K) gathers and four take_along_axis reductions per step, then
-    collapsing the remaining three scattered recon gathers into one (~4x + ~1.25x).
+    generated in one batched COUNTER draw per walk key before the scan —
+    bits(fold_in(key(seed), uid), shape=(S,)) — so the scan's serial critical path
+    carries no threefry hashing, and the table costs ONE threefry block per two
+    draws instead of two blocks per draw (fold_in per step was 17x slower on v5e:
+    55.9 ms vs 3.2 ms for a (32, 49k) table).
+  - The MC batch section runs a HISTORYLESS scan (carry = cur only) because MC
+    draws never consult the path; the kill/success events are resolved post-scan
+    with vectorized masking and a pack-sort duplicate scan (see _run_walks_mc_fast;
+    dropping the in-scan visited table measured ~2x). Greedy walks genuinely
+    reroute around their history, so the mixed/greedy engine keeps the in-scan
+    visited table ((W, S+1) carry + revisit compare per step).
+  - The scan body touches ONLY what its decisions need: greedy-OS additionally
+    gathers OS rows; greedy-ES needs NO score gather at all (CSR rows are
+    pre-sorted by (ES desc, dst asc), so greedy-ES = first valid slot).
 
 Semantics (deterministic, documented — SURVEY.md §7 "bit-identical" hard part):
   - A walk starts at an oriented anchor node and repeatedly selects an out-edge.
@@ -40,9 +47,11 @@ Semantics (deterministic, documented — SURVEY.md §7 "bit-identical" hard part
     row gather + compare-count: choice = #{j : cum_j <= r}). A
     draw landing on an already-visited destination KILLS the walk (HERA cycle kill,
     SURVEY.md §3 row 10); a walk with no positive-weight candidate dies. The draw
-    uses the walk's OWN stream: fold_in(fold_in(key(seed), uid), step) — invariant to
-    batch size, padding, sharding, and host count (SURVEY.md §5 item 3), and
-    bit-reproducible across backends (integer arithmetic has no rounding).
+    uses the walk's OWN stream: bits(fold_in(key(seed), uid), shape=(max_steps,))[step]
+    — a counter draw per walk key, invariant to batch size, padding, sharding, and
+    host count (SURVEY.md §5 item 3), and bit-reproducible across backends (integer
+    arithmetic has no rounding). Note the stream depends on max_steps (threefry
+    counter layout is length-dependent); max_steps is config-pinned per run.
   - Step 0 honours plan.first_edge (deterministic first-edge enumeration); an invalid
     forced slot kills the walk.
   - A walk succeeds when it steps onto another anchor node (id < 2 * n_anchors); it
@@ -70,17 +79,27 @@ from telomeri_tpu.walk.plan import MODE_GREEDY_OS, MODE_MC, WalkPlan
 class GraphDev(NamedTuple):
     """Device-resident CSR tables (see graph/tensorize.py for the host layout).
 
-    The device layout is packed for the walk loop's two access patterns:
-      - nbrcum: (N, 2K) int32 — [:, :K] neighbour ids, [:, K:] the static MC weight
-        cumsum. ONE contiguous row gather per scan step feeds both the transition
-        and the sampler (halving per-step gather ops — gathers, not bytes, dominate).
-      - rec: (N*K, 4) int32 — per-slot [eid, adv, es_bits(f32), 0] for the post-scan
-        reconstruction: one packed (W, S) gather instead of three.
-    os_ stays separate: only greedy-OS walks (a tiny batch section) read it."""
+    ONE wide per-node row holds everything a walk step needs, with the CSR width
+    padded from K to H = lane-aligned width (module docstring: odd widths fall off
+    Mosaic's fast row-gather path). wide: (N, 6H) int32, column blocks
+      [0H:1H) nbr      neighbour ids (pad -1)
+      [1H:2H) cum      static MC weight cumsum (pad = row total: never sampled)
+      [2H:3H) eid      edge ids (pad -1)
+      [3H:4H) adv      advance / path-length contribution in bp (pad 0)
+      [4H:5H) es_bits  ES score f32 bits (pad 0)
+      [5H:6H) zero     keeps the row a whole number of 128-lane tiles
+    The scan issues ONE contiguous row gather per step and resolves the transition,
+    the sampler, AND the per-step edge attributes from it with in-register lane
+    reduces — no separate score/attr gathers anywhere (gather op count, not bytes,
+    dominates: a second (W, S) recon gather measured +23% on v5e). os_ stays
+    separate (padded to (N, H)): only greedy-OS walks read it."""
 
-    nbrcum: jax.Array    # (N, 2K) int32
-    os_: jax.Array       # (N, K) f32
-    rec: jax.Array       # (N*K, 4) int32
+    wide: jax.Array      # (N, 6H) int32
+    os_: jax.Array       # (N, H) f32
+
+    @property
+    def h(self) -> int:
+        return self.os_.shape[1]
 
 
 def mc_weights(es: np.ndarray) -> np.ndarray:
@@ -124,24 +143,47 @@ def _cum_arrays(g: GraphTensors) -> np.ndarray:
     return np.cumsum(mc_weights(g.es), axis=1, dtype=np.int64).astype(np.int32)
 
 
-def pack_rec(eid: np.ndarray, adv: np.ndarray, es: np.ndarray) -> np.ndarray:
-    """Pack the (N, K) per-slot attribute tables into the (N*K, 4) recon table."""
-    flat = lambda a: np.ascontiguousarray(a).reshape(-1)
-    return np.stack([
-        flat(eid).astype(np.int32),
-        flat(adv).astype(np.int32),
-        flat(es).astype(np.float32).view(np.int32),
-        np.zeros(eid.size, np.int32),
+def lane_width(k: int) -> int:
+    """Padded CSR half-width H: smallest of 64, 128, 256, ... >= k, so the packed
+    [nbr | cum] row (2H int32) is a whole number of 128-lane tiles (module
+    docstring: a (W, 80) row gather measured 6x slower than (W, 128) on v5e)."""
+    h = 64
+    while h < k:
+        h *= 2
+    return h
+
+
+def _pad_cols(a: np.ndarray, h: int, fill) -> np.ndarray:
+    if a.shape[1] == h:
+        return a
+    pad = np.broadcast_to(fill, (a.shape[0], h - a.shape[1])).astype(a.dtype)
+    return np.concatenate([a, pad], axis=1)
+
+
+def pack_wide(nbr, cumw, eid, adv, es, h: int) -> np.ndarray:
+    """Pack the (N, K) CSR tables into the (N, 6H) wide row (GraphDev docstring).
+    cum pads carry the row total: compare-count (#{cum <= r}, r < total) never
+    lands on them, and a zero-total row stays dead."""
+    cum_pad = _pad_cols(cumw, h, 0)
+    if h != cumw.shape[1]:
+        cum_pad = cum_pad.copy()
+        cum_pad[:, cumw.shape[1]:] = cumw[:, -1:] if cumw.shape[1] else 0
+    return np.concatenate([
+        _pad_cols(nbr, h, -1).astype(np.int32),
+        cum_pad.astype(np.int32),
+        _pad_cols(eid, h, -1).astype(np.int32),
+        _pad_cols(adv, h, 0).astype(np.int32),
+        _pad_cols(es, h, 0.0).astype(np.float32).view(np.int32),
+        np.zeros((nbr.shape[0], h), np.int32),
     ], axis=1)
 
 
 def graph_to_device(g: GraphTensors, sharding=None) -> GraphDev:
     put = (lambda a: jax.device_put(a, sharding)) if sharding is not None else jax.device_put
-    cumw = _cum_arrays(g)
+    h = lane_width(g.nbr.shape[1])
     return GraphDev(
-        nbrcum=put(np.concatenate([g.nbr, cumw], axis=1)),
-        os_=put(g.os_),
-        rec=put(pack_rec(g.eid, g.adv, g.es)),
+        wide=put(pack_wide(g.nbr, _cum_arrays(g), g.eid, g.adv, g.es, h)),
+        os_=put(_pad_cols(g.os_, h, 0.0)),
     )
 
 
@@ -151,6 +193,109 @@ def plan_to_device(p: WalkPlan, sharding=None) -> PlanDev:
                    uid=put(p.uid), active=put(p.active))
 
 
+@functools.partial(jax.jit, static_argnames=("max_steps",))
+def _run_walks_mc_fast(
+    g: GraphDev, p: PlanDev, seed, *, n_anchors, max_steps: int
+) -> WalkResult:
+    """Historyless MC scan + post-hoc event resolution (the 97%-of-batch hot path).
+
+    MC draws depend ONLY on (cur, uid, step) — the row CDF is static and revisits
+    KILL rather than reroute — so the scan needs no visited table: its carry is just
+    `cur` (W,), each step is one (W, 6H) wide-row gather, an in-register draw, and
+    in-register lane reduces for the chosen slot's nxt/eid/adv/es; everything
+    streams out through scan's stacked outputs (contiguous writes). Walks run PAST
+    their terminal event; the first event — dead row (total <= 0), revisit (cycle
+    kill), or anchor hit — is found afterwards with vectorized masking over the
+    (W, S) records, and everything beyond it is masked off. Removing the in-scan
+    visited carry ((W, S+1) dynamic-update-slice + revisit compare per serial step)
+    measured ~2x on v5e; folding the attrs into the row gather (vs a separate
+    (W, S) recon gather) a further 1.23x. Event precedence matches the in-scan
+    engine bit-for-bit: dead/revisit kill before an anchor hit at the same step
+    counts (tests/test_walk.py sectioned≡mixed, engine≡oracle)."""
+    w = p.start.shape[0]
+    h = g.h
+    anchor_lim = 2 * jnp.asarray(n_anchors, jnp.int32)
+    base = jax.random.key(seed)
+    walk_keys = jax.vmap(lambda u: jax.random.fold_in(base, u))(p.uid)
+    all_bits = jnp.transpose(jax.vmap(
+        lambda kk: jax.random.bits(kk, (max_steps,), dtype=jnp.uint32)
+    )(walk_keys))                                      # (S, W)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (w, h), 1)
+
+    def step(cur, bits):
+        rows = g.wide[cur]                             # (W, 6H) ONE row gather
+        cum_rows = rows[:, h:2 * h]
+        total = cum_rows[:, -1]
+        r = (bits & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32) % jnp.maximum(total, 1)
+        choice = jnp.minimum(
+            jnp.sum((cum_rows <= r[:, None]).astype(jnp.int32), axis=1), h - 1
+        ).astype(jnp.int32)
+        # one-hot lane reduces, NOT take_along_axis: a per-row dynamic pick would
+        # lower to a second scattered gather per step
+        sel = lane == choice[:, None]
+        pick = lambda a: jnp.sum(jnp.where(sel, a, 0), axis=1)
+        nxt = pick(rows[:, :h])
+        attrs = (pick(rows[:, 2 * h:3 * h]), pick(rows[:, 3 * h:4 * h]),
+                 pick(rows[:, 4 * h:5 * h]))           # eid, adv, es_bits
+        return jnp.where(nxt >= 0, nxt, cur), (nxt, total, *attrs)
+
+    _, (nxt_t, tot_t, eid_t, adv_t, es_t) = jax.lax.scan(
+        step, p.start, all_bits, unroll=4)
+    nxts = jnp.transpose(nxt_t)                        # (W, S) destination per step
+    totals = jnp.transpose(tot_t)                      # (W, S)
+
+    # post-hoc event resolution (all (W, S)-vectorized, no serial dependence):
+    # the walk's node sequence is [start, nxt_0, ..]; for steps before the first
+    # event it matches the in-scan engine's visited list exactly
+    seq = jnp.concatenate([p.start[:, None], nxts], axis=1)        # (W, S+1)
+    steps_i = jax.lax.broadcasted_iota(jnp.int32, (w, max_steps), 1)
+    big = jnp.int32(max_steps + 1)
+    first_true = lambda m: jnp.min(jnp.where(m, steps_i, big), axis=1)  # (W,)
+    # revisit: nxt_t equals any EARLIER sequence entry. Pack (node, seq idx) into
+    # one int32 and SORT each walk's sequence: duplicates land adjacent, and the
+    # larger of an adjacent-equal pair carries the kill index. O(S log^2 S)
+    # bitonic sort beats the O(S^2) pairwise broadcast ~5x at S=32 on v5e.
+    # Entries from steps after t_dead are -1 (dead rows): they only duplicate each
+    # other, at indices > t_dead, so t_kill's min() is unaffected.
+    mult = 64
+    while mult < max_steps + 1:
+        mult *= 2
+    if int(g.wide.shape[0]) * mult < 2**31:
+        packed = jnp.sort(seq * mult + jax.lax.broadcasted_iota(
+            jnp.int32, (w, max_steps + 1), 1), axis=1)
+        adj_eq = (packed[:, 1:] // mult) == (packed[:, :-1] // mult)
+        later = packed[:, 1:] % mult                   # seq idx of the 2nd of a pair
+        # seq idx t+1 duplicates an earlier entry <=> step t stepped onto a revisit
+        t_rev = jnp.min(jnp.where(adj_eq, later, big + 1), axis=1) - 1
+    else:  # node*mult would overflow int32 (> ~33M oriented nodes): pairwise path
+        tri = (jax.lax.broadcasted_iota(jnp.int32, (max_steps, max_steps + 1), 1)
+               <= jax.lax.broadcasted_iota(jnp.int32, (max_steps, max_steps + 1), 0))
+        dup = ((nxts[:, :, None] == seq[:, None, :]) & tri[None]).any(-1)  # (W, S)
+        t_rev = first_true(dup)
+    t_dead = first_true(totals <= 0)
+    t_kill = jnp.minimum(jnp.where(p.active, big, 0), jnp.minimum(t_rev, t_dead))
+    t_anchor = first_true(nxts < anchor_lim)
+    success = t_anchor < t_kill                        # kill at the same step wins
+    n_taken = jnp.where(success, t_anchor + 1, jnp.minimum(t_kill, max_steps))
+    terminal = jnp.where(
+        success, jnp.take_along_axis(
+            nxts, jnp.minimum(t_anchor, max_steps - 1)[:, None], 1)[:, 0], -1)
+
+    took = steps_i < n_taken[:, None]
+    nodes = jnp.concatenate([
+        p.start[:, None], jnp.where(took, nxts, -1)], axis=1)
+    eids = jnp.where(took, jnp.transpose(eid_t), -1)
+    path_len = jnp.sum(jnp.where(took, jnp.transpose(adv_t), 0), axis=1,
+                       dtype=jnp.int32)
+    score_sum = jnp.sum(jnp.where(
+        took, jax.lax.bitcast_convert_type(jnp.transpose(es_t), jnp.float32), 0.0),
+        axis=1)
+
+    return WalkResult(nodes=nodes, eids=eids, steps=n_taken, success=success,
+                      terminal=terminal, path_len=path_len, score_sum=score_sum)
+
+
 @functools.partial(jax.jit, static_argnames=("max_steps", "kind"))
 def _run_walks_kind(
     g: GraphDev, p: PlanDev, seed, *, n_anchors, max_steps: int, kind: str
@@ -158,28 +303,32 @@ def _run_walks_kind(
     """One lockstep scan, specialized by batch kind.
 
     kind="mixed": any modes (generic; used by tests and ad-hoc plans).
-    kind="mc": all walks are Monte-Carlo with first_edge == -1 — skips the OS gather,
-      greedy argmax, and forced-edge take (the 97%-of-batch fast path).
+    kind="mc": all walks are Monte-Carlo with first_edge == -1 — delegates to the
+      historyless _run_walks_mc_fast scan (the 97%-of-batch fast path).
     kind="greedy": no RNG at all — skips key folding and categorical.
 
     n_anchors is a TRACED scalar (not static): with bucketed batch/table shapes
     (utils/shapes.py) one compiled program serves every same-bucket dataset.
     """
+    if kind == "mc":
+        return _run_walks_mc_fast(g, p, seed, n_anchors=n_anchors,
+                                  max_steps=max_steps)
     w = p.start.shape[0]
     k = g.os_.shape[1]
     anchor_lim = 2 * jnp.asarray(n_anchors, jnp.int32)
     use_mc = kind in ("mixed", "mc")
     use_greedy = kind in ("mixed", "greedy")
     if use_mc:
-        # hoist ALL RNG out of the scan: one batched (S, W) bits table, same
-        # fold_in(fold_in(key(seed), uid), step) tree as the per-step form — the
-        # scan's serial critical path then carries no threefry hashing
+        # hoist ALL RNG out of the scan: one batched (S, W) bits table. Each walk's
+        # stream is a COUNTER draw on its uid-folded key —
+        # bits(fold_in(key(seed), uid), (S,)) — one threefry block per two draws
+        # (fold_in per step costs two blocks per draw and measured 17x slower);
+        # the scan's serial critical path carries no threefry hashing at all
         base = jax.random.key(seed)
         walk_keys = jax.vmap(lambda u: jax.random.fold_in(base, u))(p.uid)
-        all_bits = jax.vmap(lambda s: jax.vmap(
-            lambda kk: jax.random.bits(jax.random.fold_in(kk, s),
-                                       dtype=jnp.uint32))(walk_keys)
-        )(jnp.arange(max_steps, dtype=jnp.int32))          # (S, W)
+        all_bits = jnp.transpose(jax.vmap(
+            lambda kk: jax.random.bits(kk, (max_steps,), dtype=jnp.uint32)
+        )(walk_keys))                                      # (S, W)
     else:
         all_bits = jnp.zeros((max_steps, w), jnp.uint32)
     is_mc = p.mode == MODE_MC
@@ -195,10 +344,12 @@ def _run_walks_kind(
         visited=visited0,
     )
 
+    lane = jax.lax.broadcasted_iota(jnp.int32, (w, k), 1)
+
     def step(carry, inp):
         s, bits = inp
         cur = carry["cur"]
-        rows = g.nbrcum[cur]                            # (W, 2K) ONE contiguous row gather
+        rows = g.wide[cur]                              # (W, 6H) ONE contiguous row gather
         nbr_rows = rows[:, :k]
 
         if use_greedy:
@@ -226,7 +377,7 @@ def _run_walks_kind(
             # walk (cycle kill, SURVEY.md §3 row 10) rather than rerouting.
             # r = bits % total has modulo bias <= total / 2^31 (< 0.01% on real
             # rows) — deterministic, replicated bit-for-bit by the oracle.
-            cum_rows = rows[:, k:]                      # cumsum half of the same gather
+            cum_rows = rows[:, k:2 * k]                 # cumsum block of the same gather
             total = cum_rows[:, -1]
             r = (bits & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32) % jnp.maximum(total, 1)
             mc_choice = jnp.minimum(
@@ -234,24 +385,26 @@ def _run_walks_kind(
             ).astype(jnp.int32)
             mc_dead = total <= 0
 
-        if kind == "mc":
-            choice, dead = mc_choice, mc_dead
-        elif kind == "greedy":
+        if kind == "greedy":
             choice, dead = greedy_choice, greedy_dead
         else:
             choice = jnp.where(is_mc, mc_choice, greedy_choice)
             dead = jnp.where(is_mc, mc_dead, greedy_dead)
-        nxt = jnp.take_along_axis(nbr_rows, choice[:, None], 1)[:, 0]
 
         if use_greedy:
             # deterministic first-edge enumeration (MC plans always have -1)
             forced = (s == 0) & (p.first_edge >= 0)
             choice = jnp.where(forced, p.first_edge, choice)
-            chosen_valid = jnp.take_along_axis(valid, choice[:, None], 1)[:, 0]
+
+        # one-hot lane reduces (not take_along_axis — that would be a second
+        # scattered gather per step): chosen slot's nxt/validity/eid/adv/es
+        sel = lane == choice[:, None]
+        pick = lambda a: jnp.sum(jnp.where(sel, a, 0), axis=1)
+        nxt = pick(nbr_rows)
+
+        if use_greedy:
+            chosen_valid = jnp.sum(jnp.where(sel, valid, False), axis=1) > 0
             dead = jnp.where(forced, ~chosen_valid, dead)
-            nxt = jnp.where(forced,
-                            jnp.take_along_axis(nbr_rows, choice[:, None], 1)[:, 0],
-                            nxt)
 
         if use_mc:
             # MC cycle kill: chosen destination already on the path
@@ -272,26 +425,23 @@ def _run_walks_kind(
             nsteps=carry["nsteps"] + stepping.astype(jnp.int32),
             visited=carry["visited"].at[:, s + 1].set(jnp.where(stepping, nxt, -1)),
         )
-        return new, jnp.where(stepping, choice, -1)
+        attrs = (pick(rows[:, 2 * k:3 * k]), pick(rows[:, 3 * k:4 * k]),
+                 pick(rows[:, 4 * k:5 * k]))           # eid, adv, es_bits
+        return new, (stepping, *attrs)
 
     # unroll: XLA overlaps the per-step row gathers across unrolled iterations,
     # hiding gather latency behind compute (~2x on v5e; 8 regresses — fusion bloat)
-    carry, slots_t = jax.lax.scan(
+    carry, (step_t, eid_t, adv_t, es_t) = jax.lax.scan(
         step, carry0, (jnp.arange(max_steps, dtype=jnp.int32), all_bits),
         unroll=4,
     )
-    slots = jnp.transpose(slots_t)                 # (W, S)
-
-    # post-scan reconstruction: ONE packed (W, S) gather from the per-slot recon
-    # table yields edge ids, advances, and ES at once
-    src_nodes = carry["visited"][:, :max_steps]    # node the step left FROM
-    took = slots >= 0
-    flat = jnp.clip(src_nodes, 0) * k + jnp.clip(slots, 0)
-    rec = g.rec[flat]                              # (W, S, 4)
-    eids = jnp.where(took, rec[..., 0], -1)
-    path_len = jnp.sum(jnp.where(took, rec[..., 1], 0), axis=1, dtype=jnp.int32)
+    took = jnp.transpose(step_t)                   # (W, S) step actually taken
+    eids = jnp.where(took, jnp.transpose(eid_t), -1)
+    path_len = jnp.sum(jnp.where(took, jnp.transpose(adv_t), 0), axis=1,
+                       dtype=jnp.int32)
     score_sum = jnp.sum(jnp.where(
-        took, jax.lax.bitcast_convert_type(rec[..., 2], jnp.float32), 0.0), axis=1)
+        took, jax.lax.bitcast_convert_type(jnp.transpose(es_t), jnp.float32), 0.0),
+        axis=1)
 
     return WalkResult(
         nodes=carry["visited"],
@@ -317,34 +467,68 @@ def _slice_plan(p: WalkPlan, lo: int, hi: int) -> WalkPlan:
                     mode=p.mode[lo:hi], uid=p.uid[lo:hi], active=p.active[lo:hi])
 
 
-def run_walks_sectioned(
-    g: GraphDev, plan: WalkPlan, seed, *, n_anchors: int, max_steps: int,
-    sharding=None,
-) -> WalkResult:
-    """Fast path for sectioned plans (plan_walks layout): one specialized scan per
-    section, results concatenated back into plan row order. Falls back to the mixed
-    engine when the plan has no section info. Bit-identical to run_walks on the same
-    rows (same per-walk op order; uid-keyed RNG)."""
+def prepare_plan_sections(
+    plan: WalkPlan, sharding=None
+) -> list[tuple[str, PlanDev]]:
+    """Slice a sectioned plan and upload each section to the device ONCE.
+
+    The plan is static for a run; callers that launch walks repeatedly on the same
+    plan (benchmarks, multi-seed sweeps) should prepare once and loop
+    run_walks_prepared — re-uploading the (W,)x5 plan arrays per call measured
+    ~15 ms/call through a remote-tunnel device link."""
     if plan.sections is None:
-        res = run_walks(g, plan_to_device(plan, sharding), seed,
-                        n_anchors=n_anchors, max_steps=max_steps)
-        return res
-    parts = []
+        return [("mixed", plan_to_device(plan, sharding))]
+    out = []
     for kind in ("greedy", "mc"):
         lo, hi = plan.sections[kind]
-        if hi == lo:
-            continue
-        pd = plan_to_device(_slice_plan(plan, lo, hi), sharding)
-        parts.append(_run_walks_kind(
-            g, pd, seed, n_anchors=n_anchors, max_steps=max_steps, kind=kind))
-    if not parts:  # graph with no walkable anchor ends
+        if hi > lo:
+            out.append((kind, plan_to_device(_slice_plan(plan, lo, hi), sharding)))
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("max_steps", "kinds"))
+def _run_walks_multi(
+    g: GraphDev, pds: tuple, seed, *, n_anchors, max_steps: int, kinds: tuple
+) -> WalkResult:
+    """All sections + the row-order concat under ONE jit: a single device dispatch
+    per launch (each extra dispatch costs ms-scale latency on a remote-tunneled
+    device link, comparable to the MC scan itself)."""
+    parts = [
+        _run_walks_kind(g, pd, seed, n_anchors=n_anchors, max_steps=max_steps,
+                        kind=kind)
+        for kind, pd in zip(kinds, pds)
+    ]
+    if len(parts) == 1:
+        return parts[0]
+    return WalkResult(*[jnp.concatenate(a, axis=0) for a in zip(*parts)])
+
+
+def run_walks_prepared(
+    g: GraphDev, sections: list[tuple[str, PlanDev]], seed, *,
+    n_anchors: int, max_steps: int,
+) -> WalkResult:
+    """Run device-resident plan sections (see prepare_plan_sections): one
+    specialized scan per section, results concatenated back into plan row order.
+    Bit-identical to run_walks on the same rows (same per-walk op order; uid-keyed
+    RNG)."""
+    if not sections:  # graph with no walkable anchor ends
         z = lambda *shape: jnp.zeros(shape, jnp.int32)
         return WalkResult(nodes=z(0, max_steps + 1), eids=z(0, max_steps),
                           steps=z(0), success=jnp.zeros(0, bool), terminal=z(0),
                           path_len=z(0), score_sum=jnp.zeros(0, jnp.float32))
-    if len(parts) == 1:
-        return parts[0]
-    return WalkResult(*[jnp.concatenate(a, axis=0) for a in zip(*parts)])
+    return _run_walks_multi(
+        g, tuple(pd for _, pd in sections), seed, n_anchors=n_anchors,
+        max_steps=max_steps, kinds=tuple(kind for kind, _ in sections))
+
+
+def run_walks_sectioned(
+    g: GraphDev, plan: WalkPlan, seed, *, n_anchors: int, max_steps: int,
+    sharding=None,
+) -> WalkResult:
+    """prepare_plan_sections + run_walks_prepared in one shot (single-run callers)."""
+    return run_walks_prepared(
+        g, prepare_plan_sections(plan, sharding), seed,
+        n_anchors=n_anchors, max_steps=max_steps)
 
 
 def run_walks_host(

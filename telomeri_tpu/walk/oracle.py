@@ -32,29 +32,31 @@ class OracleWalk:
     score_sum: float
 
 
-def jax_choice_fn(seed: int):
+def jax_choice_fn(seed: int, max_steps: int):
     """Per-(uid, step) sampler matching walk/engine.py's stream and integer
-    inverse-CDF math exactly: same folded key -> same 32-bit draw -> same int32
-    cumsum comparison."""
+    inverse-CDF math exactly: same per-uid counter draw
+    (bits(fold_in(key(seed), uid), (max_steps,))[step] — threefry counter output
+    depends on the draw LENGTH, so max_steps must match the engine's) -> same
+    32-bit draw -> same int32 cumsum comparison."""
     import jax
     import jax.numpy as jnp
 
     base = jax.random.key(seed)
-    cache: dict[int, object] = {}
+    cache: dict[int, np.ndarray] = {}
 
     def fn(uid: int, step: int, row_es: np.ndarray) -> int:
         from telomeri_tpu.walk.engine import mc_weights
 
-        wk = cache.get(uid)
-        if wk is None:
-            wk = cache[uid] = jax.random.fold_in(base, uid)
+        stream = cache.get(uid)
+        if stream is None:
+            stream = cache[uid] = np.asarray(jax.random.bits(
+                jax.random.fold_in(base, uid), (max_steps,), dtype=jnp.uint32))
         wq = mc_weights(row_es).astype(np.int64)   # FULL static row, like the engine
         cum = np.cumsum(wq)
         total = int(cum[-1])
         if total <= 0:
             return -1
-        bits = int(jax.random.bits(jax.random.fold_in(wk, step), dtype=jnp.uint32))
-        r = (bits & 0x7FFFFFFF) % total
+        r = (int(stream[step]) & 0x7FFFFFFF) % total
         return int(np.argmax(cum > r))
 
     return fn

@@ -151,7 +151,7 @@ def test_engine_matches_oracle(rng, mode):
     plan = plan_walks(g, cfg)
     sel = np.flatnonzero(plan.active & (plan.mode == mode))[:40]
     r = run(g, plan, seed=11, max_steps=10)
-    choice = jax_choice_fn(11)
+    choice = jax_choice_fn(11, 10)
     for i in sel:
         o = walk_oracle(g, int(plan.start[i]), int(plan.first_edge[i]), mode,
                         int(plan.uid[i]), 10, choice)
