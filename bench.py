@@ -168,9 +168,9 @@ def bench_hg002_graph():
     """BENCH_SCALE=hg002-graph: whole-human-scale HBM fit + walk throughput.
 
     Synthesizes a graph at the ARCHITECTURE.md HG002 budget (N=6.3M oriented
-    nodes, K=64 -> ~11.3 GiB of device tables), device_puts it, and times a 49k
+    nodes, K=64 -> ~10.5 GiB of device tables), device_puts it, and times a 49k
     MC walk batch. Validates that the replicated-graph design holds at config #5
-    scale on one chip (measured 2026-08-18: fits; 957k walks/s/chip with fully
+    scale on one chip (measured 2026-08-18: fits; 1.81M walks/s/chip with fully
     random access — no anchor locality, a worst case vs real graphs)."""
     import jax
     import jax.numpy as jnp
