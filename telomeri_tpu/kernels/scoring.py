@@ -72,45 +72,63 @@ def _score_kernel(nm, bl, ol1, ol2, oh1, oh2, el1, el2, si_o, os_o, es1_o, es2_o
     es2_o[:] = es2
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def score_overlaps_pallas(nm, bl, ol1, ol2, oh1, oh2, el1, el2, *, interpret=False):
-    """Pallas TPU scoring kernel over 1-D int32 row arrays.
+def scoring_tile_shape(n: int) -> tuple[int, int]:
+    """(rows_pad, cols) tiling for n overlap rows: bucketed padding
+    (utils/shapes.py) so the grid divides evenly AND the padded shape comes from a
+    small family — the kernel program is reused across datasets instead of
+    recompiling (~1 min/shape over a remote-compile tunnel)."""
+    from telomeri_tpu.utils.shapes import bucket_len
 
-    Pads rows to a (M, 128) f32 tile grid, runs an elementwise VPU kernel with a
-    1-D grid over row blocks, and slices the padding back off. Returns
-    (si, os, es1, es2) float32 arrays of the input length.
-    """
+    rows = max(-(-n // _LANES), 1)
+    return max(bucket_len(rows, _BLOCK_M), _BLOCK_M), _LANES
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def score_overlaps_pallas_tiled(nm, bl, ol1, ol2, oh1, oh2, el1, el2, *,
+                                interpret=False):
+    """Pallas TPU scoring kernel over PRE-TILED (rows_pad, 128) int32 arrays
+    (scoring_tile_shape). Returns four (rows_pad, 128) float32 arrays.
+
+    The tiled form is the fast path: padding 1-D inputs inside the call costs a
+    full extra read+write of all 8 input arrays (measured 1.45x total on v5e —
+    3.11 ms -> 2.15 ms at 8M rows). Callers that score repeatedly or at scale
+    should store geometry tiled and call this directly."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    from telomeri_tpu.utils.shapes import bucket_len
-
-    n = nm.shape[0]
-    cols = _LANES
-    rows = max(pl.cdiv(n, cols), 1)
-    # bucketed padding (utils/shapes.py): the grid divides evenly AND the padded
-    # shape comes from a small family, so the kernel program is reused across
-    # datasets instead of recompiling (~1 min/shape over the axon tunnel)
-    rows_pad = max(bucket_len(rows, _BLOCK_M), _BLOCK_M)
-    total = rows_pad * cols
-
-    def prep(a):
-        a = jnp.asarray(a, jnp.int32)
-        return jnp.pad(a, (0, total - n)).reshape(rows_pad, cols)
-
-    ins = [prep(a) for a in (nm, bl, ol1, ol2, oh1, oh2, el1, el2)]
+    rows_pad, cols = nm.shape
     grid = (rows_pad // _BLOCK_M,)
     spec = pl.BlockSpec((_BLOCK_M, cols), lambda i: (i, 0), memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((rows_pad, cols), jnp.float32)
-
-    si, os_, es1, es2 = pl.pallas_call(
+    return pl.pallas_call(
         _score_kernel,
         grid=grid,
         in_specs=[spec] * 8,
         out_specs=(spec,) * 4,
         out_shape=(out_shape,) * 4,
         interpret=interpret,
-    )(*ins)
+    )(nm, bl, ol1, ol2, oh1, oh2, el1, el2)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def score_overlaps_pallas(nm, bl, ol1, ol2, oh1, oh2, el1, el2, *, interpret=False):
+    """Pallas TPU scoring kernel over 1-D int32 row arrays.
+
+    Pads rows to the (M, 128) f32 tile grid (scoring_tile_shape), runs
+    score_overlaps_pallas_tiled, and slices the padding back off. Returns
+    (si, os, es1, es2) float32 arrays of the input length.
+    """
+    n = nm.shape[0]
+    rows_pad, cols = scoring_tile_shape(n)
+    total = rows_pad * cols
+
+    def prep(a):
+        a = jnp.asarray(a, jnp.int32)
+        return jnp.pad(a, (0, total - n)).reshape(rows_pad, cols)
+
+    si, os_, es1, es2 = score_overlaps_pallas_tiled(
+        *[prep(a) for a in (nm, bl, ol1, ol2, oh1, oh2, el1, el2)],
+        interpret=interpret)
     flat = lambda a: a.reshape(total)[:n]
     return flat(si), flat(os_), flat(es1), flat(es2)
 
