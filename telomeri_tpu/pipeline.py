@@ -58,6 +58,15 @@ def load_inputs(contigs_path: str, reads_path: str, paf_rc_path, paf_rr_path,
         paf = PafRecords.concatenate(
             [parse_paf(p, name_index) for p in as_list(paf_rc_path)]
             + [parse_paf(p, name_index) for p in as_list(paf_rr_path)])
+    # record which ingest backend actually ran (round-1 verdict: the silent
+    # Python fallback hid a missing native build)
+    from telomeri_tpu.native.paf_native import available as _native_ok
+
+    backend = "native" if _native_ok() else "python"
+    metrics.set("parser_backend", backend)
+    if backend == "python":
+        log.info("native parser library not built (python -m "
+                 "telomeri_tpu.native.build); using the Python parsers")
     return contigs, reads, paf
 
 

@@ -21,6 +21,26 @@ jax.config.update("jax_platforms", "cpu")
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# Build the native C++ helpers up front so the 11 native parity tests RUN by
+# default instead of silently skipping (round-1 verdict hygiene item): the build
+# is ~2 s with g++; if no compiler is present, warn visibly and let
+# tests/test_native.py's skipif handle the rest.
+from telomeri_tpu.native import build as _native_build  # noqa: E402
+from telomeri_tpu.native import paf_native as _paf_native  # noqa: E402
+
+if not _paf_native.available():
+    import shutil
+    import warnings
+
+    if shutil.which("g++"):
+        _native_build.build(verbose=False)
+        _paf_native._load_failed = False  # retry the (now-present) library
+    else:
+        warnings.warn(
+            "g++ not found: native parser library not built; native parity "
+            "tests will SKIP and the pipeline will use the Python parsers",
+            stacklevel=1)
+
 
 @pytest.fixture(scope="session")
 def toy_sim():
