@@ -71,7 +71,11 @@ class ScaffoldConfig:
     mc_seed: int = 0               # base PRNG seed; per-walk streams via fold_in(walk_uid)
 
     # --- path grouping / consensus ---
-    group_window: int = 1000       # path-length histogram bucket width (bp)
+    # "windowed" (HERA sparse-region split: sorted path lengths split where
+    # adjacent lengths differ by > group_window) or "fixed" (bucket =
+    # path_len // group_window) — consensus/grouping.py rule 3
+    grouping: str = "windowed"
+    group_window: int = 1000       # path-length gap / bucket width (bp)
     min_group_support: int = 2     # winning group must hold >= this many paths
 
     # --- sharding ---
@@ -84,6 +88,9 @@ class ScaffoldConfig:
         if self.lazy_sequences not in ("auto", "on", "off"):
             raise ValueError(
                 f"lazy_sequences must be auto/on/off, got {self.lazy_sequences!r}")
+        if self.grouping not in ("windowed", "fixed"):
+            raise ValueError(
+                f"grouping must be windowed/fixed, got {self.grouping!r}")
         for f in ("min_identity", "max_overhang_ratio"):
             v = getattr(self, f)
             if not 0.0 <= v <= 10.0:

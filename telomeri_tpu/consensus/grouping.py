@@ -9,13 +9,24 @@ Normative rules (deterministic, host-count-invariant — SURVEY.md §7):
   2. A walk from anchor-end a to terminal b represents the UNDIRECTED bridge
      {a->b, rc(b)->rc(a)}; its canonical pair is the lexicographic min of
      (a, b) and (b^1, a^1).
-  3. Walks of a pair are bucketed by path length: bucket = path_len // group_window
-     (path_len in bp, always >= 0 since every edge advance is positive).
-  4. The winning group per pair is the most-populated bucket; ties break to the
-     SMALLER bucket (shorter bridge).
+  3. Walks of a pair are grouped by path length (path_len in bp, >= 0 since every
+     edge advance is positive). Two modes (ScaffoldConfig.grouping):
+       - "windowed" (default; HERA's sparse-region split, SURVEY.md §3 row 11):
+         sort the pair's path lengths ascending and split between consecutive
+         walks whose lengths differ by MORE than group_window — groups are the
+         maximal runs with adjacent gaps <= group_window. A true length cluster
+         is never split by an arbitrary bucket edge (the round-1 fixed-bucket
+         failure mode).
+       - "fixed": bucket = path_len // group_window (round-1 behavior, kept for
+         comparability).
+  4. The winning group per pair is the most-populated group; ties break to the
+     group with the SMALLER minimal path length (shorter bridge).
   5. The representative of the winning group is its max score_sum walk; exact ties
      break to the smaller walk uid.
   6. A pair yields a bridge only if the winning group holds >= min_group_support walks.
+
+ConsensusResult.bucket reports the winning group's key: its minimal path length
+(windowed) or its bucket index (fixed).
 
 Implementation: lexicographic (pair, bucket) ordering via chained stable argsorts +
 fixed-shape segment reductions — O(W log W), no dense (pairs x buckets) histogram, so it
@@ -82,14 +93,17 @@ def _lexsort_rows(keys_minor_to_major):
     return order
 
 
-@functools.partial(jax.jit, static_argnames=("group_window", "min_support"))
+@functools.partial(jax.jit, static_argnames=("group_window", "min_support", "grouping"))
 def group_and_select(
-    s: WalkSummary, *, n_anchors: int = 0, group_window: int, min_support: int
+    s: WalkSummary, *, n_anchors: int = 0, group_window: int, min_support: int,
+    grouping: str = "windowed",
 ) -> ConsensusResult:
     # n_anchors is accepted for API symmetry but unused by the math (canonical
     # pairs + segment reductions never need it); it is deliberately NOT a static
     # jit arg, so one compiled consensus program serves every dataset of the same
     # walk-batch bucket (utils/shapes.py).
+    if grouping not in ("windowed", "fixed"):
+        raise ValueError(f"grouping must be windowed/fixed, got {grouping!r}")
     w = s.start.shape[0]
     if w == 0:  # no walks at all (e.g. empty PAF): nothing to group
         zi = jnp.zeros(0, jnp.int32)
@@ -105,24 +119,34 @@ def group_and_select(
     ca = jnp.where(flip, ra, a)
     cb = jnp.where(flip, rb, b)
 
-    bucket = s.path_len.astype(jnp.int32) // group_window  # rule 3 (path_len >= 0)
+    plen = s.path_len.astype(jnp.int32)
+    # rule 3: the in-pair sort/group key is the bucket index (fixed) or the raw
+    # path length (windowed — groups are found by gap-splitting the sorted runs)
+    key = plen // group_window if grouping == "fixed" else plen
     valid = s.success
     # invalid rows sort to the very end
     ca = jnp.where(valid, ca, _I32MAX)
     cb = jnp.where(valid, cb, _I32MAX)
-    bucket_k = jnp.where(valid, bucket, _I32MAX)
+    key_k = jnp.where(valid, key, _I32MAX)
 
-    order = _lexsort_rows([bucket_k, cb, ca])
-    ca_s, cb_s, bk_s = ca[order], cb[order], bucket_k[order]
+    order = _lexsort_rows([key_k, cb, ca])
+    ca_s, cb_s, key_s = ca[order], cb[order], key_k[order]
     valid_s = valid[order]
     score_s = s.score_sum[order]
     uid_s = s.uid[order]
 
-    # segment = (pair, bucket) run; pair segment = (pair) run
+    # segment = one length group within a pair; pair segment = (pair) run
     neq = lambda x: jnp.concatenate([jnp.ones(1, bool), x[1:] != x[:-1]])
-    seg_first = neq(ca_s) | neq(cb_s) | neq(bk_s)
-    seg_id = jnp.cumsum(seg_first.astype(jnp.int32)) - 1
     pair_first = neq(ca_s) | neq(cb_s)
+    if grouping == "fixed":
+        seg_first = pair_first | neq(key_s)
+    else:
+        # HERA sparse-region split: a new group starts where the ascending sorted
+        # path lengths jump by MORE than group_window (adjacent-gap clustering)
+        gap = jnp.concatenate(
+            [jnp.zeros(1, jnp.int32), key_s[1:] - key_s[:-1]]) > group_window
+        seg_first = pair_first | gap
+    seg_id = jnp.cumsum(seg_first.astype(jnp.int32)) - 1
     pair_id = jnp.cumsum(pair_first.astype(jnp.int32)) - 1
 
     ssum = lambda v: jax.ops.segment_sum(v, seg_id, num_segments=w)
@@ -130,7 +154,11 @@ def group_and_select(
 
     seg_count = ssum(valid_s.astype(jnp.int32))
     seg_pair = smax_seg(jnp.where(valid_s, pair_id, -1))          # pair id of each segment
-    seg_bucket = smax_seg(jnp.where(valid_s, bk_s, -1))
+    # group key for reporting + rule-4 tie-break: bucket index (fixed) or the
+    # group's MINIMAL path length (windowed; = first sorted member). Both are
+    # strictly increasing across a pair's groups, so "smaller key" = "shorter".
+    seg_bucket = -smax_seg(jnp.where(valid_s, -key_s, -_I32MAX))
+    seg_bucket = jnp.where(seg_count > 0, seg_bucket, -1)
     seg_ca = smax_seg(jnp.where(valid_s, ca_s, -1))
     seg_cb = smax_seg(jnp.where(valid_s, cb_s, -1))
 
@@ -162,10 +190,11 @@ def group_and_select(
 
 
 def consensus_oracle(
-    s: WalkSummary, n_anchors: int, group_window: int, min_support: int
+    s: WalkSummary, n_anchors: int, group_window: int, min_support: int,
+    grouping: str = "windowed",
 ) -> list[dict]:
     """Scalar python reference of rules 1-6 (tests/test_consensus.py parity)."""
-    groups: dict[tuple[int, int], dict[int, list[int]]] = {}
+    by_pair: dict[tuple[int, int], list[int]] = {}
     start = np.asarray(s.start); term = np.asarray(s.terminal)
     succ = np.asarray(s.success); plen = np.asarray(s.path_len)
     score = np.asarray(s.score_sum); uid = np.asarray(s.uid)
@@ -174,9 +203,25 @@ def consensus_oracle(
             continue
         a, b = int(start[i]), int(term[i])
         cand = min((a, b), (b ^ 1, a ^ 1))
-        groups.setdefault(cand, {}).setdefault(int(plen[i]) // group_window, []).append(i)
+        by_pair.setdefault(cand, []).append(i)
     out = []
-    for (a, b), buckets in sorted(groups.items()):
+    for (a, b), members in sorted(by_pair.items()):
+        # groups keyed by bucket index (fixed) or group min path length (windowed)
+        if grouping == "fixed":
+            buckets: dict[int, list[int]] = {}
+            for i in members:
+                buckets.setdefault(int(plen[i]) // group_window, []).append(i)
+        else:
+            members = sorted(members, key=lambda i: int(plen[i]))
+            buckets = {}
+            cur_key = None
+            prev_len = None
+            for i in members:
+                li = int(plen[i])
+                if prev_len is None or li - prev_len > group_window:
+                    cur_key = li            # group's min length
+                buckets.setdefault(cur_key, []).append(i)
+                prev_len = li
         bk = min(buckets, key=lambda k: (-len(buckets[k]), k))
         walks = buckets[bk]
         if len(walks) < min_support:

@@ -124,7 +124,7 @@ def run_walks_distributed(
     summary = jax.device_put(summary, replicated(mesh))
     cons = group_and_select(
         summary, n_anchors=n_anchors, group_window=cfg.group_window,
-        min_support=cfg.min_group_support)
+        min_support=cfg.min_group_support, grouping=cfg.grouping)
     return res, cons
 
 

@@ -142,7 +142,8 @@ def run_pipeline(
             summary = summarize(walks, plan.uid)
             cons = group_and_select(
                 summary, n_anchors=graph.n_anchors,
-                group_window=cfg.group_window, min_support=cfg.min_group_support)
+                group_window=cfg.group_window, min_support=cfg.min_group_support,
+                grouping=cfg.grouping)
             bridges = compress(cons)
     else:
         from telomeri_tpu.utils.profiling import maybe_trace
@@ -168,7 +169,8 @@ def run_pipeline(
                 summary = summarize(walks, plan.uid)
                 cons = group_and_select(
                     summary, n_anchors=graph.n_anchors,
-                    group_window=cfg.group_window, min_support=cfg.min_group_support)
+                    group_window=cfg.group_window,
+                    min_support=cfg.min_group_support, grouping=cfg.grouping)
                 bridges = compress(cons)
         if save_walks_path:
             import jax

@@ -25,25 +25,63 @@ def mk_summary(rows):
     )
 
 
-def run(s, window=100, min_support=2, n_anchors=4):
+def run(s, window=100, min_support=2, n_anchors=4, grouping="windowed"):
     return compress(group_and_select(
-        s, n_anchors=n_anchors, group_window=window, min_support=min_support))
+        s, n_anchors=n_anchors, group_window=window, min_support=min_support,
+        grouping=grouping))
 
 
 def test_basic_grouping_and_winner():
     s = mk_summary([
-        (0, 2, True, 150, 5.0),   # pair (0,2) bucket 1
-        (0, 2, True, 180, 7.0),   # pair (0,2) bucket 1  <- winner group, rep (score 7)
-        (0, 2, True, 950, 9.0),   # pair (0,2) bucket 9 (lone)
+        (0, 2, True, 150, 5.0),   # pair (0,2), group {150,180} (gap 30 <= 100)
+        (0, 2, True, 180, 7.0),   # <- winner group, rep (score 7)
+        (0, 2, True, 950, 9.0),   # lone group (gap 770 > 100)
         (0, 2, False, 160, 8.0),  # failed: ignored
     ])
     out = run(s)
     assert len(out) == 1
     assert out[0]["pair"] == (0, 2)
     assert out[0]["count"] == 2
-    assert out[0]["bucket"] == 1
+    assert out[0]["bucket"] == 150   # windowed: group's min path length
     assert out[0]["rep_uid"] == 1
     assert out[0]["rep_score"] == 7.0
+
+
+def test_basic_grouping_fixed_mode():
+    s = mk_summary([
+        (0, 2, True, 150, 5.0),   # bucket 1
+        (0, 2, True, 180, 7.0),   # bucket 1 <- winner
+        (0, 2, True, 950, 9.0),   # bucket 9
+        (0, 2, False, 160, 8.0),
+    ])
+    out = run(s, grouping="fixed")
+    assert len(out) == 1
+    assert out[0]["count"] == 2
+    assert out[0]["bucket"] == 1     # fixed: bucket index
+    assert out[0]["rep_uid"] == 1
+
+
+def test_windowed_split_beats_fixed_bucket_edge():
+    """Round-1 regression: a true length cluster straddling a fixed-bucket edge
+    is split in half by fixed bucketing and LOSES to a smaller unimodal group;
+    windowed split keeps the cluster whole and it wins (VERDICT round 1 item 2)."""
+    s = mk_summary([
+        # true cluster of 4 straddling the 100-bucket edge at 200
+        (0, 2, True, 180, 1.0),
+        (0, 2, True, 195, 2.0),
+        (0, 2, True, 205, 3.0),
+        (0, 2, True, 220, 4.0),
+        # unimodal group of 3 inside one bucket, far away
+        (0, 2, True, 910, 5.0),
+        (0, 2, True, 920, 9.0),
+        (0, 2, True, 930, 6.0),
+    ])
+    fixed = run(s, grouping="fixed")
+    assert fixed[0]["count"] == 3 and fixed[0]["bucket"] == 9  # cluster split 2+2
+    windowed = run(s, grouping="windowed")
+    assert windowed[0]["count"] == 4          # cluster survives intact and wins
+    assert windowed[0]["bucket"] == 180
+    assert windowed[0]["rep_uid"] == 3        # max score within the cluster
 
 
 def test_direction_canonicalization_merges():
@@ -67,7 +105,8 @@ def test_tie_breaks_smaller_bucket():
         (0, 2, True, 160, 4.0),
     ])
     out = run(s)
-    assert out[0]["bucket"] == 1  # two groups of 2; smaller bucket wins
+    assert out[0]["bucket"] == 150  # two groups of 2; shorter group wins
+    assert run(s, grouping="fixed")[0]["bucket"] == 1
 
 
 def test_rep_tie_breaks_smaller_uid():
@@ -110,9 +149,11 @@ def test_matches_oracle_random(rng):
             rng.integers(1, 50, n).astype(np.float32), jnp.float32),  # ints -> exact ties occur
         uid=jnp.arange(n, dtype=jnp.int32),
     )
-    got = run(s, window=250, min_support=2, n_anchors=4)
-    want = consensus_oracle(s, n_anchors=4, group_window=250, min_support=2)
-    assert got == want
+    for grouping in ("windowed", "fixed"):
+        got = run(s, window=250, min_support=2, n_anchors=4, grouping=grouping)
+        want = consensus_oracle(s, n_anchors=4, group_window=250, min_support=2,
+                                grouping=grouping)
+        assert got == want, grouping
 
 
 def test_all_failed():
