@@ -153,8 +153,8 @@ def _myers_batch(qmat: np.ndarray, qlens: np.ndarray,
 
 
 def myers_pair(q: np.ndarray, t: np.ndarray, mode: str = "global") -> int:
-    """Edit distance of one (query, target) pair, multi-word Myers (qlen
-    unlimited, O(len(t) * ceil(len(q)/64)) word ops).
+    """Edit distance of one (query, target) pair, Myers bit-vector over ONE
+    arbitrary-precision Python int (qlen unlimited; ~O(len(t) * len(q)/64)).
 
     mode: "global" — full q vs full t;
           "free_t_start" — target may start anywhere (head placement);
@@ -165,53 +165,31 @@ def myers_pair(q: np.ndarray, t: np.ndarray, mode: str = "global") -> int:
         return 0 if mode != "global" else tn
     if tn == 0:
         return m
-    w = -(-m // 64)
-    lanes = np.arange(64, dtype=np.uint64)
-    qpad = np.full(w * 64, 0xFF, np.uint8)
-    qpad[:m] = q
-    qwords = qpad.reshape(w, 64)
-    peq = np.zeros((4, w), np.uint64)
-    for c in range(4):
-        peq[c] = ((qwords == BASES[c]) << lanes).sum(axis=1, dtype=np.uint64)
-    tcode = np.clip(np.searchsorted(BASES, t), 0, 3)
-
-    pv = np.full(w, ~np.uint64(0))
-    mv = np.zeros(w, np.uint64)
+    qc = _codes(q)
+    peq = [0, 0, 0, 0]
+    for i in range(m):
+        peq[qc[i]] |= 1 << i
+    tcode = _codes(t)
+    full = (1 << m) - 1
+    top = m - 1
+    pv, mv = full, 0
     score = m
-    sb_word, sb_bit = (m - 1) // 64, _ONE << np.uint64((m - 1) % 64)
     best = score
-    hin_base = 0 if mode == "free_t_start" else 1
+    hin = 0 if mode == "free_t_start" else 1  # D[0][j] boundary delta
     for j in range(tn):
-        eq = peq[tcode[j]].copy()
-        hin = hin_base
-        # word-serial carry chain (w words; w is small)
-        carry_ph, carry_mh = hin > 0, hin < 0
-        for i in range(w):
-            e = eq[i]
-            if carry_mh:
-                e |= _ONE
-            xv = e | mv[i]
-            xh = (((e & pv[i]) + pv[i]) ^ pv[i]) | e
-            ph = mv[i] | ~(xh | pv[i])
-            mh = pv[i] & xh
-            ph_out = bool((ph >> np.uint64(63)) & _ONE)
-            mh_out = bool((mh >> np.uint64(63)) & _ONE)
-            ph = ph << _ONE
-            mh = mh << _ONE
-            if carry_ph:
-                ph |= _ONE
-            if carry_mh:
-                mh |= _ONE
-            pv[i] = mh | ~(xv | ph)
-            mv[i] = ph & xv
-            if i == sb_word:
-                if ph & sb_bit:
-                    score += 1
-                elif mh & sb_bit:
-                    score -= 1
-            carry_ph, carry_mh = ph_out, mh_out
-        if mode == "free_t_end":
-            best = min(best, score)
+        eq = peq[tcode[j]]
+        xv = eq | mv
+        xh = ((((eq & pv) + pv) ^ pv) | eq)
+        ph = (mv | ~(xh | pv)) & full
+        mh = pv & xh & full
+        score += (ph >> top) & 1
+        score -= (mh >> top) & 1
+        ph = (ph << 1) | hin
+        mh = mh << 1
+        pv = (mh | ~(xv | ph)) & full
+        mv = ph & xv & full
+        if mode == "free_t_end" and score < best:
+            best = score
     return best if mode == "free_t_end" else score
 
 
