@@ -74,13 +74,19 @@ def build_parser() -> argparse.ArgumentParser:
 
     v = sub.add_parser(
         "validate",
-        help="place scaffolds on a known reference genome and report identity "
-             "(substitution-only validator for simulated/benchmark data)")
+        help="align scaffolds to a known reference genome and report identity "
+             "(indel-tolerant: k-mer anchor chains + banded edit distance)")
     v.add_argument("--scaffolds", required=True, help="scaffolds FASTA")
     v.add_argument("--genome", required=True, help="reference genome FASTA")
-    v.add_argument("--seed-kmer", type=int, default=32, help="exact seed length")
-    v.add_argument("--seed-tries", type=int, default=16,
-                   help="seed positions tried per scaffold per strand")
+    v.add_argument("--seed-kmer", type=int, default=24,
+                   help="anchor k-mer length (<= 31)")
+    v.add_argument("--stride", type=int, default=32,
+                   help="scaffold anchor sampling stride (bp)")
+    v.add_argument("--agp", metavar="FILE",
+                   help="AGP from the scaffold run: also report identity in a "
+                        "window around every stitch junction")
+    v.add_argument("--junction-window", type=int, default=2000,
+                   help="half-window around each junction (bp)")
 
     g = sub.add_parser("simulate", help="generate a synthetic test dataset")
     g.add_argument("--out", required=True, help="output directory")
@@ -136,12 +142,14 @@ def main(argv: list[str] | None = None) -> int:
         import json
 
         from telomeri_tpu.io.fasta import read_fasta
-        from telomeri_tpu.utils.validate import validate_assembly
+        from telomeri_tpu.utils.validate import read_agp_junctions, validate_assembly
 
         report = validate_assembly(
             read_fasta(args.scaffolds, lazy="auto"),
             read_fasta(args.genome, lazy="auto"),
-            k=args.seed_kmer, tries=args.seed_tries)
+            k=args.seed_kmer, stride=args.stride,
+            junctions=read_agp_junctions(args.agp) if args.agp else None,
+            junction_window=args.junction_window)
         print(json.dumps(report, indent=2, sort_keys=True))
         return 0
 

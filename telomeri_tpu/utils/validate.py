@@ -1,25 +1,26 @@
-"""Scaffold-vs-reference validation (alignment-free, for simulated/benchmark data).
+"""Scaffold-vs-reference validation (indel-tolerant, alignment-based).
 
-The simulator (telomeri_tpu/sim.py) injects substitution errors only, so a
-correctly-scaffolded sequence aligns POSITIONALLY to the ground-truth genome at a
-single offset per strand. Validation therefore reduces to: locate each scaffold
-on the reference by an exact seed k-mer (trying several positions so a seed
-landing on simulated errors doesn't fail), then measure positional identity over
-the overlapping span. A misjoin (wrong repeat-copy pairing) shifts everything
-after the bad junction and collapses identity toward the ~25% random baseline —
-making this a cheap but sharp correctness check.
+Round 1 validated positionally — sound only for the substitution-only simulator.
+Real inputs (PacBio/ONT) are indel-dominated, so round 2 validates by ALIGNMENT
+(utils/align.py): unique-k-mer anchor chains + Myers bit-vector edit distance per
+inter-anchor segment. A misjoin (wrong repeat-copy pairing) breaks the anchor
+chain with a huge genome gap whose edit cost craters identity — the same sharp
+signal the positional validator had, now robust to indels.
 
-Not a general-purpose aligner: indel-bearing real data needs minimap2/quast-style
-tools, which this zero-dependency validator does not replace.
+Per-junction checks (VERDICT round 1 item on misjoin dilution): a misjoin near the
+end of a long scaffold barely moves whole-scaffold identity, so validate_assembly
+also reports identity in a window around every stitch junction when junction
+positions are provided (from Scaffold.segments or an AGP file).
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 import numpy as np
 
 from telomeri_tpu.io.fasta import reverse_complement
+from telomeri_tpu.utils.align import ChainAlignment, KmerIndex, chain_align, pack_kmers
 
 
 @dataclass
@@ -27,85 +28,114 @@ class Placement:
     scaffold: str
     genome: str | None      # reference sequence name, None if unplaced
     strand: int             # +1 / -1 (0 if unplaced)
-    offset: int             # forward-genome start of the PLACED (oriented)
-    #                         scaffold sequence (may be negative); for strand -1
-    #                         this is where rc(scaffold) begins on the genome
-    span: int               # overlapping bases compared
-    identity: float         # matching fraction over the span (0.0 if unplaced)
+    offset: int             # genome position of the first chained anchor minus its
+    #                         scaffold position (approximate start; indels drift it)
+    span: int               # alignment columns compared
+    identity: float         # 1 - edits/columns over the chain (0.0 if unplaced)
+    n_anchors: int = 0
+    edits: int = 0
+    junctions: list = field(default_factory=list)  # [{pos, identity}] if requested
 
     def as_dict(self) -> dict:
-        return {"scaffold": self.scaffold, "genome": self.genome,
-                "strand": self.strand, "offset": self.offset,
-                "span": self.span, "identity": round(self.identity, 6)}
+        d = {"scaffold": self.scaffold, "genome": self.genome,
+             "strand": self.strand, "offset": self.offset,
+             "span": self.span, "identity": round(self.identity, 6),
+             "n_anchors": self.n_anchors, "edits": self.edits}
+        if self.junctions:
+            d["junctions"] = self.junctions
+        return d
 
 
-def _seed_offsets(n: int, k: int, tries: int) -> list[int]:
-    if n <= k:
-        return [0]
-    return sorted({int(p) for p in np.linspace(0, n - k, tries)})
+_MIN_OK = 0.5  # below this, try the other strand / call unplaced
 
 
-_ACCEPT = 0.95  # a candidate this good is certainly the true placement
+def _hit_count(qkm: np.ndarray, idx: KmerIndex, probe_stride: int) -> int:
+    if len(qkm) == 0:
+        return 0
+    return int((idx.lookup_unique(qkm[::probe_stride]) >= 0).sum())
 
 
-def _identity_at(seq: np.ndarray, genome: np.ndarray, off: int) -> tuple[int, float]:
-    lo = max(0, off)
-    hi = min(len(genome), off + len(seq))
-    if hi <= lo:
-        return 0, 0.0
-    g = genome[lo:hi]
-    s = seq[lo - off:hi - off]
-    return int(hi - lo), float(np.mean(g == s))
+def place_scaffold(name: str, scaffold: np.ndarray, genomes: dict, k: int = 24,
+                   stride: int = 32) -> Placement:
+    """Best alignment-based placement of `scaffold` across reference sequences.
 
-
-def place_scaffold(name: str, scaffold: np.ndarray, genomes: dict, k: int = 32,
-                   tries: int = 16) -> Placement:
-    """Best placement of `scaffold` across reference sequences.
-
-    Every exact seed hit is EVALUATED by positional identity and the best kept —
-    a seed landing inside a repeat matches the wrong copy and scores ~25%, while
-    some other seed in unique flanking sequence scores high, so first-hit
-    placement would false-alarm exactly where misjoin detection matters.
-    genomes: {name: array} or {name: (array, bytes)} (bytes precomputed once by
-    validate_assembly; arrays alone also accepted for direct use)."""
+    genomes: {name: array} or {name: (array, KmerIndex)} (index precomputed once
+    by validate_assembly). Strand is chosen by a cheap unique-hit probe, with the
+    other strand as fallback when the winner aligns poorly."""
     best = Placement(name, None, 0, 0, 0, 0.0)
+    scaffold = np.asarray(scaffold)
     oriented = {1: scaffold, -1: reverse_complement(scaffold)}
-    for gname, genome in genomes.items():
-        garr, gb = genome if isinstance(genome, tuple) else (genome, genome.tobytes())
-        for strand, seq in oriented.items():
-            sb = seq.tobytes()
-            tried: set[int] = set()
-            for p in _seed_offsets(len(sb), k, tries):
-                q = gb.find(sb[p:p + k])
-                if q < 0 or (q - p) in tried:
-                    continue
-                tried.add(q - p)
-                span, ident = _identity_at(seq, garr, q - p)
-                if ident > best.identity:
-                    best = Placement(name, gname, strand, q - p, span, ident)
-                    if ident >= _ACCEPT:
-                        return best
+    for gname, g in genomes.items():
+        garr, gidx = g if isinstance(g, tuple) else (g, KmerIndex.build(g, k))
+        kms = {s: pack_kmers(seq, k) for s, seq in oriented.items()}
+        hits = {s: _hit_count(kms[s], gidx, stride * 8) for s in (1, -1)}
+        order = sorted((1, -1), key=lambda s: -hits[s])
+        for s in order:
+            if hits[s] == 0 and hits[order[0]] > 0:
+                continue
+            al = chain_align(oriented[s], garr, gidx, stride=stride)
+            if al is None:
+                continue
+            if al.identity > best.identity:
+                off = int(al.g_anchor[0]) - int(al.q_anchor[0])
+                best = Placement(name, gname, s, off, al.columns, al.identity,
+                                 n_anchors=al.n_anchors, edits=al.edits)
+                best._alignment = al  # noqa: SLF001 — used for junction checks
+            if best.identity >= _MIN_OK:
+                break  # first strand aligned fine; skip the mirror
     return best
 
 
-def validate_assembly(scaffolds, genomes, k: int = 32, tries: int = 16) -> dict:
-    """Validate a scaffold set against reference sequences.
+def junctions_from_segments(segments: list) -> list[int]:
+    """Stitch-junction positions (scaffold coords) from Scaffold.segments rows
+    (kind, id, orient, src_start, scaffold_start, length)."""
+    return sorted({int(s[4]) for s in segments if int(s[4]) > 0})
 
-    scaffolds/genomes: SequenceSet-shaped (names + seqs). Returns a JSON-ready
-    report: per-scaffold placements plus summary (placed fraction, identity
-    weighted by span, worst identity — the misjoin flag)."""
+
+def read_agp_junctions(path: str) -> dict[str, list[int]]:
+    """Scaffold -> junction positions from an AGP v2.1 file (component starts)."""
+    out: dict[str, list[int]] = {}
+    with open(path) as f:
+        for line in f:
+            if line.startswith("#") or not line.strip():
+                continue
+            cols = line.rstrip("\n").split("\t")
+            name, sc_start = cols[0], int(cols[1])
+            if sc_start > 1:
+                out.setdefault(name, []).append(sc_start - 1)
+    return {n: sorted(set(v)) for n, v in out.items()}
+
+
+def validate_assembly(scaffolds, genomes, k: int = 24, stride: int = 32,
+                      junctions: dict[str, list[int]] | None = None,
+                      junction_window: int = 2000) -> dict:
+    """Validate a scaffold set against reference sequences (indel-tolerant).
+
+    scaffolds/genomes: SequenceSet-shaped (names + seqs). junctions: optional
+    {scaffold_name: [positions]} for per-junction identity windows. Returns a
+    JSON-ready report: per-scaffold placements plus summary (placed fraction,
+    identity weighted by span, worst identity, worst junction identity)."""
     gmap = {}
     for i, n in enumerate(genomes.names):
         arr = np.asarray(genomes.seqs[i])
-        gmap[n] = (arr, arr.tobytes())   # bytes built ONCE, reused per scaffold
-    placements = [
-        place_scaffold(n, np.asarray(scaffolds.seqs[i]), gmap, k, tries)
-        for i, n in enumerate(scaffolds.names)]
+        gmap[n] = (arr, KmerIndex.build(arr, k))   # index built ONCE per genome
+    placements = []
+    worst_junction = None
+    for i, name in enumerate(scaffolds.names):
+        p = place_scaffold(name, np.asarray(scaffolds.seqs[i]), gmap, k, stride)
+        al: ChainAlignment | None = getattr(p, "_alignment", None)
+        for jpos in (junctions or {}).get(name, []):
+            ident = (al.identity_in(jpos - junction_window, jpos + junction_window)
+                     if al is not None else 0.0)
+            p.junctions.append({"pos": int(jpos), "identity": round(ident, 6)})
+            worst_junction = (ident if worst_junction is None
+                              else min(worst_junction, ident))
+        placements.append(p)
     total = int(np.sum(scaffolds.lengths))
     placed_span = sum(p.span for p in placements)
     wsum = sum(p.identity * p.span for p in placements)
     placed = [p for p in placements if p.genome is not None]
-    return {
+    report = {
         "n_scaffolds": len(placements),
         "n_placed": len(placed),
         "total_bases": total,
@@ -115,3 +145,6 @@ def validate_assembly(scaffolds, genomes, k: int = 32, tries: int = 16) -> dict:
         "worst_identity": round(min((p.identity for p in placed), default=0.0), 6),
         "placements": [p.as_dict() for p in placements],
     }
+    if worst_junction is not None:
+        report["worst_junction_identity"] = round(worst_junction, 6)
+    return report

@@ -40,12 +40,48 @@ def test_many_junction_genome(tmp_path):
     assert m["assembly"]["scaffolds"]["n50"] == len(sim.genome)
 
 
+def test_indel_reads_end_to_end(tmp_path):
+    """Round-2 realism regression (VERDICT item 1): indel-bearing reads with
+    jittered minimap2-style endpoints must still bridge every repeat, and the
+    alignment-based validator must confirm >= 98% identity with healthy
+    junctions (positional identity is meaningless on this data)."""
+    from telomeri_tpu.utils.validate import junctions_from_segments, validate_assembly
+
+    sim = simulate(SimConfig(
+        genome_len=400_000, repeat_len=4_000, n_repeat_copies=4,
+        read_len_mean=5_000, read_len_sd=1_000, read_min_len=800,
+        coverage=16.0, error_rate=0.02, ins_rate=0.025, del_rate=0.025,
+        end_jitter=25, min_sim_overlap=400, seed=23))
+    d = str(tmp_path / "data")
+    write_dataset(sim, d)
+    res = run_pipeline(
+        f"{d}/contigs.fa", f"{d}/reads.fa", f"{d}/read2contig.paf",
+        f"{d}/read2read.paf", str(tmp_path / "s.fa"),
+        ScaffoldConfig(mc_walks_per_end=200, max_steps=32))
+    assert len(res.accepted) == 4, [b.pair for b in res.accepted]
+    assert len(res.scaffolds) == 1
+    sc = res.scaffolds[0]
+    # indel drift: length close to, but not exactly, the genome length
+    assert abs(len(sc.seq) - len(sim.genome)) < 0.005 * len(sim.genome)
+    from telomeri_tpu.io.fasta import SequenceSet
+
+    rep = validate_assembly(
+        SequenceSet([sc.name], [sc.seq]), SequenceSet(["g"], [sim.genome]),
+        junctions={sc.name: junctions_from_segments(sc.segments)})
+    assert rep["n_placed"] == 1
+    assert rep["mean_identity"] > 0.98
+    # junction windows are read-filled sequence at ~7% error; a misjoin would
+    # crater one of them toward ~0.5
+    assert rep["worst_junction_identity"] > 0.85
+
+
 @pytest.mark.slow
 @pytest.mark.skipif(
     not os.environ.get("TELOMERI_SCALE_TEST"),
     reason="set TELOMERI_SCALE_TEST=1 (minutes-long)")
 def test_ecoli_preset_end_to_end(tmp_path):
     from telomeri_tpu.io.fasta import read_fasta
+    from telomeri_tpu.utils.validate import validate_assembly
 
     d = str(tmp_path)
     write_dataset(simulate(PRESETS["ecoli"]), d)
@@ -55,14 +91,14 @@ def test_ecoli_preset_end_to_end(tmp_path):
         os.path.join(d, "contigs.fa"), os.path.join(d, "reads.fa"),
         os.path.join(d, "read2contig.paf"), os.path.join(d, "read2read.paf"),
         out, cfg)
-    genome = np.asarray(read_fasta(os.path.join(d, "genome.fa")).seqs[0])
     scaf = read_fasta(out)
-    # every gap bridged -> one scaffold reconstructing the genome
+    # every gap bridged -> one scaffold reconstructing the genome (the ecoli
+    # preset now carries indels, so identity comes from the aligner)
     assert len(scaf) == 1
-    s = np.asarray(scaf.seqs[0])
-    n = min(len(genome), len(s))
-    assert abs(len(s) - len(genome)) < 0.01 * len(genome)
-    assert (genome[:n] == s[:n]).mean() > 0.98
+    genome = read_fasta(os.path.join(d, "genome.fa"))
+    rep = validate_assembly(scaf, genome, stride=64)
+    assert rep["n_placed"] == 1
+    assert rep["mean_identity"] > 0.98
 
 
 def test_repeats_longer_than_reads(tmp_path):

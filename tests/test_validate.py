@@ -1,9 +1,14 @@
-"""Tests for the alignment-free scaffold validator (utils/validate.py)."""
+"""Tests for the indel-tolerant scaffold validator (utils/validate.py)."""
 
 import numpy as np
 
 from telomeri_tpu.io.fasta import SequenceSet, reverse_complement
-from telomeri_tpu.utils.validate import place_scaffold, validate_assembly
+from telomeri_tpu.utils.validate import (
+    junctions_from_segments,
+    place_scaffold,
+    read_agp_junctions,
+    validate_assembly,
+)
 
 
 def _rand_seq(n, seed):
@@ -12,11 +17,26 @@ def _rand_seq(n, seed):
                          .tobytes(), dtype=np.uint8)
 
 
+def _indel_mutate(seq, seed, sub=0.01, ins=0.01, dele=0.01):
+    rng = np.random.default_rng(seed)
+    out = []
+    for b in seq:
+        if rng.random() < dele:
+            continue
+        if rng.random() < sub:
+            out.append(ord("ACGT"[(b"ACGT".index(bytes([b])) + 1) % 4]))
+        else:
+            out.append(int(b))
+        if rng.random() < ins:
+            out.append(ord("ACGT"[rng.integers(0, 4)]))
+    return np.array(out, np.uint8)
+
+
 def test_forward_placement_exact():
     g = _rand_seq(5000, 0)
     p = place_scaffold("s", g[1000:3000].copy(), {"g": g})
-    assert (p.genome, p.strand, p.offset, p.span) == ("g", 1, 1000, 2000)
-    assert p.identity == 1.0
+    assert (p.genome, p.strand, p.offset) == ("g", 1, 1000)
+    assert p.identity == 1.0 and p.span == 2000
 
 
 def test_reverse_placement():
@@ -27,7 +47,7 @@ def test_reverse_placement():
     assert p.identity == 1.0 and p.span == 2000
 
 
-def test_placement_with_errors():
+def test_placement_with_substitutions():
     g = _rand_seq(8000, 2)
     s = g[500:7500].copy()
     rng = np.random.default_rng(3)
@@ -37,13 +57,23 @@ def test_placement_with_errors():
     assert p.genome == "g" and 0.97 < p.identity < 1.0
 
 
+def test_placement_with_indels():
+    """The round-1 positional validator collapsed to ~25% on ONE indel; the
+    aligner must report true identity on 3%-indel sequence (VERDICT item 1)."""
+    g = _rand_seq(20_000, 12)
+    s = _indel_mutate(g[1000:19000], seed=13, sub=0.01, ins=0.01, dele=0.01)
+    p = place_scaffold("s", s, {"g": g})
+    assert p.genome == "g" and p.strand == 1
+    assert 0.96 < p.identity < 0.985   # ~3% total error
+
+
 def test_misjoin_collapses_identity():
     # scaffold = first half of g glued to a segment from the WRONG place
     g = _rand_seq(10000, 4)
     s = np.concatenate([g[0:4000], g[7000:10000]])
     p = place_scaffold("s", s, {"g": g})
-    assert p.genome == "g" and p.offset == 0
-    assert p.identity < 0.75   # tail mismatches expose the misjoin
+    assert p.genome == "g"
+    assert p.identity < 0.75   # the 3 kb genome skip is charged as edits
 
 
 def test_unplaced_scaffold():
@@ -63,13 +93,43 @@ def test_validate_assembly_report():
 
 
 def test_repeat_seed_does_not_misplace():
-    """A seed landing inside a repeat matches the WRONG copy; best-of-candidates
-    placement must pick the unique-sequence placement, not false-alarm."""
-    rng = np.random.default_rng(8)
+    """Anchors inside a repeat are non-unique and skipped; placement must come
+    from unique flanking sequence, not false-alarm on the wrong copy."""
     R = _rand_seq(200, 9)
     A = _rand_seq(3000, 10)
     B = _rand_seq(3000, 11)
     g = np.concatenate([R, A, R, B])          # repeat at 0 and 3200
     s = g[3200:].copy()                       # scaffold starts INSIDE repeat copy 2
-    p = place_scaffold("s", s, {"g": g}, k=32, tries=16)
-    assert p.identity == 1.0 and p.offset == 3200 and p.strand == 1
+    p = place_scaffold("s", s, {"g": g})
+    assert p.identity == 1.0 and p.strand == 1
+    assert p.offset == 3200
+
+
+def test_junction_identities_flag_misjoin():
+    """Whole-scaffold identity dilutes a single bad junction on a long scaffold;
+    the per-junction windows must flag it (VERDICT round 1 weak item 5)."""
+    g = _rand_seq(60_000, 14)
+    good = g[0:30_000]
+    bad_tail = g[45_000:55_000]               # misjoined: skips 15 kb
+    s = np.concatenate([good, bad_tail])
+    scaffolds = SequenceSet(["s"], [s])
+    genomes = SequenceSet(["g"], [g])
+    rep = validate_assembly(
+        scaffolds, genomes,
+        junctions={"s": [10_000, 30_000]}, junction_window=2000)
+    j = {r["pos"]: r["identity"] for r in rep["placements"][0]["junctions"]}
+    assert j[10_000] > 0.95                   # healthy junction
+    assert j[30_000] < 0.6                    # the misjoin
+    assert rep["worst_junction_identity"] < 0.6
+
+
+def test_junctions_from_segments_and_agp(tmp_path):
+    segs = [("contig", 0, 0, 0, 0, 1000), ("read", 5, 1, 100, 1000, 500),
+            ("contig", 1, 0, 0, 1500, 800)]
+    assert junctions_from_segments(segs) == [1000, 1500]
+    agp = tmp_path / "x.agp"
+    agp.write_text("##agp-version\t2.1\n"
+                   "s1\t1\t1000\t1\tW\tctg000\t1\t1000\t+\n"
+                   "s1\t1001\t1500\t2\tW\tread5\t1\t500\t-\n"
+                   "s2\t1\t700\t1\tW\tctg001\t1\t700\t+\n")
+    assert read_agp_junctions(str(agp)) == {"s1": [1000]}
