@@ -218,7 +218,8 @@ def run_pipeline(
             mini = fetch_walk_rows(
                 walks, np.array([lut[u] for u in rep_uids], np.int64), mesh)
             paths = {
-                u: extract_path(mini.nodes[i], mini.eids[i], int(mini.steps[i]))
+                u: extract_path(mini.nodes[i], mini.eids[i], int(mini.steps[i]),
+                                virtual_base=graph.virtual_base)
                 for i, u in enumerate(rep_uids)
             }
         else:
@@ -226,7 +227,8 @@ def run_pipeline(
             we = np.asarray(walks.eids)
             ws = np.asarray(walks.steps)
             paths = {
-                u: extract_path(wn[lut[u]], we[lut[u]], int(ws[lut[u]]))
+                u: extract_path(wn[lut[u]], we[lut[u]], int(ws[lut[u]]),
+                                virtual_base=graph.virtual_base)
                 for u in rep_uids
             }
         stitcher = Stitcher(contigs, reads, edges)

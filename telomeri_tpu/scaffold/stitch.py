@@ -46,11 +46,20 @@ class WalkPath:
         )
 
 
-def extract_path(walk_nodes: np.ndarray, walk_eids: np.ndarray, steps: int) -> WalkPath:
-    return WalkPath(
-        nodes=[int(n) for n in walk_nodes[: steps + 1]],
-        eids=[int(e) for e in walk_eids[:steps]],
-    )
+def extract_path(walk_nodes: np.ndarray, walk_eids: np.ndarray, steps: int,
+                 virtual_base: int | None = None) -> WalkPath:
+    """Walk records -> WalkPath, stripping hierarchy hops (graph/tensorize.py):
+    a hop step lands on a virtual node (id >= virtual_base) with eid == -2 and
+    contributes nothing; the following leaf step carries the ORIGINAL edge whose
+    src is the hub node, so the stripped path is edge-consistent."""
+    nodes = [int(n) for n in walk_nodes[: steps + 1]]
+    eids = [int(e) for e in walk_eids[:steps]]
+    if virtual_base is not None:
+        keep = [i for i, n in enumerate(nodes) if i == 0 or n < virtual_base]
+        nodes = [nodes[i] for i in keep]
+        eids = [eids[i - 1] for i in keep[1:]]
+    assert all(e >= 0 for e in eids), "hierarchy hop survived extraction"
+    return WalkPath(nodes=nodes, eids=eids)
 
 
 @dataclass

@@ -37,51 +37,46 @@ def jax_choice_fn(seed: int, max_steps: int):
     inverse-CDF math exactly: same per-uid counter draw
     (bits(fold_in(key(seed), uid), (max_steps,))[step] — threefry counter output
     depends on the draw LENGTH, so max_steps must match the engine's) -> same
-    32-bit draw -> same int32 cumsum comparison."""
+    32-bit draw -> same int32 cumsum comparison. Receives the row's PRECOMPUTED
+    weight cumsum (GraphTensors.cumw), so hierarchical child slots — whose weight
+    is a subtree sum, not derivable from the stored ES — sample identically."""
     import jax
     import jax.numpy as jnp
 
     base = jax.random.key(seed)
     cache: dict[int, np.ndarray] = {}
 
-    def fn(uid: int, step: int, row_es: np.ndarray) -> int:
-        from telomeri_tpu.walk.engine import mc_weights
-
+    def fn(uid: int, step: int, cum_row: np.ndarray) -> int:
         stream = cache.get(uid)
         if stream is None:
             stream = cache[uid] = np.asarray(jax.random.bits(
                 jax.random.fold_in(base, uid), (max_steps,), dtype=jnp.uint32))
-        wq = mc_weights(row_es).astype(np.int64)   # FULL static row, like the engine
-        cum = np.cumsum(wq)
-        total = int(cum[-1])
+        total = int(cum_row[-1])
         if total <= 0:
             return -1
         r = (int(stream[step]) & 0x7FFFFFFF) % total
-        return int(np.argmax(cum > r))
+        return int(np.argmax(cum_row > r))
 
     return fn
 
 
 def fast_choice_fn(seed: int):
-    """Cheap python RNG for baseline benchmarking (decisions need not match the engine)."""
+    """Cheap python RNG for baseline benchmarking (decisions need not match the
+    engine). Does the same O(K) per-step sampling work over the row cumsum."""
     rngs: dict[int, random.Random] = {}
 
-    def fn(uid: int, step: int, wts: np.ndarray) -> int:
+    def fn(uid: int, step: int, cum_row: np.ndarray) -> int:
         r = rngs.get(uid)
         if r is None:
             r = rngs[uid] = random.Random((seed << 32) ^ uid)
-        tot = float(wts[wts > 0].sum())
-        if tot <= 0:
+        total = int(cum_row[-1])
+        if total <= 0:
             return -1  # dead end (no positive-weight candidate) — like the engine
-        x = r.random() * tot
-        acc = 0.0
-        for j, v in enumerate(wts):
-            if v <= 0:
-                continue
-            acc += float(v)
-            if acc > x:
+        x = r.random() * total
+        for j, v in enumerate(cum_row):
+            if v > x:
                 return j
-        return int(np.argmax(wts))
+        return len(cum_row) - 1
 
     return fn
 
@@ -95,9 +90,18 @@ def walk_oracle(
     max_steps: int,
     choice_fn,
 ) -> OracleWalk:
-    """One walk, scalar semantics identical to run_walks (see engine docstring)."""
+    """One walk, scalar semantics identical to run_walks (see engine docstring).
+
+    The oracle traverses the TENSORIZED rows (including hierarchical virtual
+    nodes), so hub semantics match the engine bit-for-bit by construction."""
     anchor_lim = 2 * g.n_anchors
     nbr, es, osb, adv, eid = g.nbr, g.es, g.os_, g.adv, g.eid
+    if g.cumw is not None:
+        cumw = g.cumw
+    else:
+        from telomeri_tpu.walk.engine import mc_weights
+
+        cumw = np.cumsum(mc_weights(es), axis=1, dtype=np.int64)
     cur = start
     path = [start]
     eids: list[int] = []
@@ -105,7 +109,6 @@ def walk_oracle(
     score = np.float32(0.0)
     for s in range(max_steps):
         row_n = nbr[cur]
-        row_es = es[cur]
         row_os = osb[cur]
         k = len(row_n)
         valid = [row_n[j] >= 0 and int(row_n[j]) not in path for j in range(k)]
@@ -116,15 +119,26 @@ def walk_oracle(
                 break
         elif mode == MODE_MC:
             # sample the FULL static row distribution; revisits kill below
-            choice = choice_fn(uid, s, np.asarray(row_es, np.float32))
+            choice = choice_fn(uid, s, np.asarray(cumw[cur]))
+            if choice < 0:
+                break
+        elif mode == MODE_GREEDY_OS:
+            best, choice = -np.inf, -1
+            for j in range(k):
+                if valid[j] and row_os[j] > best:
+                    best, choice = float(row_os[j]), j
             if choice < 0:
                 break
         else:
-            key = row_os if mode == MODE_GREEDY_OS else row_es
-            best, choice = -np.inf, -1
+            # greedy-ES = FIRST valid slot: rows are ES-desc sorted at build time
+            # (hierarchical child slots store es=0 but sit at the sorted tail, so
+            # an argmax over STORED es would diverge from the engine — the engine
+            # takes the first valid slot, and so must the oracle)
+            choice = -1
             for j in range(k):
-                if valid[j] and key[j] > best:
-                    best, choice = float(key[j]), j
+                if valid[j]:
+                    choice = j
+                    break
             if choice < 0:
                 break
 

@@ -202,10 +202,13 @@ def test_sectioned_equals_mixed():
 
 def test_fast_choice_fn_valid():
     fn = fast_choice_fn(0)
-    w = np.array([0.0, 2.0, 0.0, 1.0], np.float32)
+    # cumsum of weights [0, 2, 0, 1]: zero-weight slots are never picked
+    cum = np.array([0, 2, 2, 3], np.int64)
     for s in range(20):
-        c = fn(0, s, w)
+        c = fn(0, s, cum)
         assert c in (1, 3)
+    # all-zero row: dead end
+    assert fn(0, 0, np.array([0, 0, 0, 0], np.int64)) == -1
 
 
 def test_greedy_only_plan_no_mc_section():
