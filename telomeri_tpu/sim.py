@@ -53,6 +53,24 @@ class SimConfig:
     del_rate: float = 0.0          # single-base deletion rate
     end_jitter: int = 0            # max inward trim per PAF alignment end (bp)
     min_sim_overlap: int = 150     # emit PAF rows only for true overlaps >= this many bp
+    # Cross-copy repeat overlaps: reads inside DIFFERENT copies of the exact
+    # repeat genuinely align to each other, so a real aligner emits rows between
+    # them — the source of (a) repeat-read degree skew (degree ~ copies x
+    # coverage) and (b) the wrong-copy ambiguity HERA's length-consensus must
+    # resolve. Off by default (round-1-compatible toy datasets); ON in the
+    # genome-scale presets.
+    cross_copy_overlaps: bool = False
+    max_cross_rows: int = 2_000_000  # deterministic subsample cap on cross rows
+    # Per-copy mutation rate: each planted copy diverges from the master repeat
+    # (pairwise copy divergence ~ 2x this rate). Real genomic repeat copies are
+    # 1-3% diverged — which is exactly what lets cross-copy alignments score
+    # LOWER than same-copy ones and lets HERA-style consensus reject wrong-copy
+    # bridges. With 0.0 (byte-identical copies) AND cross_copy_overlaps=True and
+    # reads shorter than the repeat, wrong-copy pairings are
+    # information-theoretically indistinguishable (same lengths, same scores) —
+    # no scaffolder could resolve them; don't simulate that combination
+    # expecting success.
+    copy_divergence: float = 0.0
     seed: int = 0
 
 
@@ -71,19 +89,22 @@ PRESETS: dict[str, SimConfig] = {
     "ecoli": SimConfig(genome_len=4_600_000, repeat_len=5_000, n_repeat_copies=24,
                        read_len_mean=8_000, read_len_sd=2_000, read_min_len=1_000,
                        coverage=20.0, error_rate=0.02, ins_rate=0.025,
-                       del_rate=0.025, end_jitter=25, min_sim_overlap=500, seed=101),
+                       del_rate=0.025, end_jitter=25, min_sim_overlap=500, cross_copy_overlaps=True,
+                       copy_divergence=0.02, seed=101),
     # BASELINE config #3: C. elegans chromosome scale (one ~15 Mb chromosome),
     # ONT-ish reads, repeat-dense
     "celegans-chr": SimConfig(genome_len=15_000_000, repeat_len=8_000,
                               n_repeat_copies=60, read_len_mean=15_000,
                               read_len_sd=6_000, read_min_len=2_000, coverage=15.0,
                               error_rate=0.03, ins_rate=0.02, del_rate=0.03,
-                              end_jitter=40, min_sim_overlap=1_000, seed=202),
+                              end_jitter=40, min_sim_overlap=1_000, cross_copy_overlaps=True,
+                              copy_divergence=0.02, seed=202),
     # BASELINE config #4: human chr21 scale, ultra-long ONT reads
     "chr21": SimConfig(genome_len=46_000_000, repeat_len=12_000, n_repeat_copies=120,
                        read_len_mean=40_000, read_len_sd=20_000, read_min_len=5_000,
                        coverage=12.0, error_rate=0.03, ins_rate=0.02, del_rate=0.03,
-                       end_jitter=40, min_sim_overlap=2_000, seed=303),
+                       end_jitter=40, min_sim_overlap=2_000, cross_copy_overlaps=True,
+                       copy_divergence=0.02, seed=303),
     # BASELINE config #5 (scaled): HG002-class whole-genome run at 1/10 genome size;
     # exercises lazy mmap ingest + artifacts + sectioned walks at a few-hundred-Mb
     # scale (SURVEY.md §8 PR7). Full-size inputs do not fit this container's disk.
@@ -91,7 +112,8 @@ PRESETS: dict[str, SimConfig] = {
                            n_repeat_copies=400, read_len_mean=30_000,
                            read_len_sd=12_000, read_min_len=5_000, coverage=10.0,
                            error_rate=0.03, ins_rate=0.02, del_rate=0.03,
-                           end_jitter=40, min_sim_overlap=2_000, seed=404),
+                           end_jitter=40, min_sim_overlap=2_000, cross_copy_overlaps=True,
+                           copy_divergence=0.02, seed=404),
 }
 
 
@@ -211,8 +233,19 @@ def simulate(cfg: SimConfig) -> SimData:
             f"genome too small: unique gap {gap} <= mean read length "
             f"{cfg.read_len_mean}; increase genome_len or reduce copies")
     starts = [gap * (i + 1) + cfg.repeat_len * i for i in range(n_cop)]
+    mut_sites: list[np.ndarray] = []
     for s in starts:
-        genome[s : s + cfg.repeat_len] = repeat
+        copy = repeat
+        if cfg.copy_divergence > 0:
+            copy = repeat.copy()
+            pos = np.flatnonzero(rng.random(cfg.repeat_len) < cfg.copy_divergence / 2)
+            if pos.size:
+                cur = np.searchsorted(BASES, copy[pos])
+                copy[pos] = BASES[(cur + rng.integers(1, 4, len(pos))) % 4]
+            mut_sites.append(pos.astype(np.int64))
+        else:
+            mut_sites.append(np.empty(0, np.int64))
+        genome[s : s + cfg.repeat_len] = copy
 
     # Contigs: unique regions between repeat copies (assembly breaks at each repeat).
     cut = [0]
@@ -248,6 +281,8 @@ def simulate(cfg: SimConfig) -> SimData:
     )
     data.paf_read_contig = _paf_read_vs_contigs(data, cfg, rng)
     data.paf_read_read = _paf_read_vs_read(data, cfg, rng)
+    if cfg.cross_copy_overlaps:
+        data.paf_read_read += _paf_cross_copy(data, cfg, rng, starts, mut_sites)
     return data
 
 
@@ -324,6 +359,64 @@ def _paf_read_vs_read(d: SimData, cfg: SimConfig, rng: np.random.Generator) -> l
                 d.read_names[j], mj.length, ts, te, nm, bl,
             ))
         active.append(i)
+    return rows
+
+
+def _paf_cross_copy(d: SimData, cfg: SimConfig, rng: np.random.Generator,
+                    repeat_starts: list[int],
+                    mut_sites: list[np.ndarray]) -> list[str]:
+    """PAF rows between reads sitting in DIFFERENT copies of the exact repeat.
+
+    Repeat copies are byte-identical, so the repeat-interior parts of two such
+    reads genuinely align; a real aligner (minimap2) emits these rows, and they
+    are what makes repeat graphs hard: repeat-read out-degree scales with
+    copies x coverage, and the graph gains wrong-copy edges that only HERA's
+    path-length consensus can reject. Coordinates come from each read's own
+    map at its own copy's genome positions (the shared interval is expressed in
+    repeat-LOCAL coordinates first)."""
+    L = cfg.repeat_len
+    touch: list[list[tuple[int, int, int]]] = [[] for _ in repeat_starts]
+    for ri, (ra, rb, _) in enumerate(d.read_pos):
+        for ci, s in enumerate(repeat_starts):
+            x, y = max(ra, s), min(rb, s + L)
+            if y - x >= cfg.min_sim_overlap:
+                touch[ci].append((ri, x - s, y - s))   # repeat-local interval
+    pairs: list[tuple[int, int, int, int, int, int]] = []
+    for i in range(len(repeat_starts)):
+        for j in range(i + 1, len(repeat_starts)):
+            for ri, lo1, hi1 in touch[i]:
+                for rj, lo2, hi2 in touch[j]:
+                    x, y = max(lo1, lo2), min(hi1, hi2)
+                    if y - x >= cfg.min_sim_overlap:
+                        pairs.append((ri, i, rj, j, x, y))
+    if cfg.max_cross_rows and len(pairs) > cfg.max_cross_rows:
+        keep = rng.choice(len(pairs), cfg.max_cross_rows, replace=False)
+        keep.sort()
+        pairs = [pairs[t] for t in keep]
+    rows = []
+    for ri, ci, rj, cj, x, y in pairs:
+        if cfg.end_jitter > 0:
+            t1 = int(rng.integers(0, cfg.end_jitter + 1))
+            t2 = int(rng.integers(0, cfg.end_jitter + 1))
+            if (y - t2) - (x + t1) >= max(cfg.min_sim_overlap // 2, 32):
+                x, y = x + t1, y - t2
+        si, sj = repeat_starts[ci], repeat_starts[cj]
+        mi, mj = d.read_maps[ri], d.read_maps[rj]
+        # mismatch columns: copy-divergence sites where the two copies differ
+        # (union of their mutation sites in the shared repeat-local interval),
+        # plus each read's own errors (disjoint genome ranges, counts add)
+        lo_i, hi_i = np.searchsorted(mut_sites[ci], (x, y))
+        lo_j, hi_j = np.searchsorted(mut_sites[cj], (x, y))
+        n_div = np.union1d(mut_sites[ci][lo_i:hi_i], mut_sites[cj][lo_j:hi_j]).size
+        nm = (y - x) - int(n_div) \
+            - mi.count_bad(si + x, si + y) - mj.count_bad(sj + x, sj + y)
+        bl = (y - x) + mi.count_ins(si + x, si + y) + mj.count_ins(sj + x, sj + y)
+        qs, qe = mi.local(si + x, si + y)
+        ts, te = mj.local(sj + x, sj + y)
+        rows.append(_paf_row(
+            d.read_names[ri], mi.length, qs, qe, mi.strand ^ mj.strand,
+            d.read_names[rj], mj.length, ts, te, nm, bl,
+        ))
     return rows
 
 

@@ -75,6 +75,69 @@ def test_indel_reads_end_to_end(tmp_path):
     assert rep["worst_junction_identity"] > 0.85
 
 
+def _validate(res, sim):
+    from telomeri_tpu.io.fasta import SequenceSet
+    from telomeri_tpu.utils.validate import junctions_from_segments, validate_assembly
+
+    return validate_assembly(
+        SequenceSet([s.name for s in res.scaffolds], [s.seq for s in res.scaffolds]),
+        SequenceSet(["g"], [sim.genome]),
+        junctions={s.name: junctions_from_segments(s.segments)
+                   for s in res.scaffolds})
+
+
+def test_cross_copy_spanning_reads(tmp_path):
+    """Cross-copy repeat overlaps (sim.py round 2): reads LONGER than the repeat
+    anchor in unique flanks, so correct bridges win despite wrong-copy edges and
+    raw-read error. Also exercises hierarchical hub rows on a realistic graph."""
+    sim = simulate(SimConfig(
+        genome_len=240_000, repeat_len=4_000, n_repeat_copies=3,
+        read_len_mean=5_000, read_len_sd=1_000, read_min_len=800,
+        coverage=16.0, error_rate=0.02, ins_rate=0.025, del_rate=0.025,
+        end_jitter=25, min_sim_overlap=400, cross_copy_overlaps=True, seed=23))
+    d = str(tmp_path / "data")
+    write_dataset(sim, d)
+    res = run_pipeline(
+        f"{d}/contigs.fa", f"{d}/reads.fa", f"{d}/read2contig.paf",
+        f"{d}/read2read.paf", None,
+        ScaffoldConfig(mc_walks_per_end=200, max_steps=32))
+    assert {b.pair for b in res.accepted} == {(0, 2), (2, 4), (4, 6)}
+    assert len(res.scaffolds) == 1
+    rep = _validate(res, sim)
+    assert rep["mean_identity"] > 0.98
+    assert rep["worst_junction_identity"] > 0.85
+
+
+def test_cross_copy_interior_paths_corrected_reads(tmp_path):
+    """The HERA regime: repeats 3x LONGER than any read, so bridges chain
+    multiple interior reads, and cross-copy edges would teleport walks between
+    copies. With corrected-read error (<1%) below the copy divergence (4%),
+    min_identity=0.97 separates same-copy from cross-copy overlaps — the
+    mechanism that makes the problem solvable at all (with byte-identical
+    copies it is information-theoretically unsolvable; see sim.py docstring).
+    Regression for round-1 verdict items 2-4 jointly: windowed grouping +
+    hierarchical hubs + realistic ambiguity."""
+    sim = simulate(SimConfig(
+        genome_len=300_000, repeat_len=8_000, n_repeat_copies=4,
+        read_len_mean=2_500, read_len_sd=400, read_min_len=800,
+        coverage=24.0, error_rate=0.005, ins_rate=0.0025, del_rate=0.0025,
+        end_jitter=10, min_sim_overlap=300, cross_copy_overlaps=True,
+        copy_divergence=0.04, seed=5))
+    d = str(tmp_path / "data")
+    write_dataset(sim, d)
+    res = run_pipeline(
+        f"{d}/contigs.fa", f"{d}/reads.fa", f"{d}/read2contig.paf",
+        f"{d}/read2read.paf", None,
+        ScaffoldConfig(mc_walks_per_end=400, max_steps=48, min_identity=0.97))
+    # the identity filter must actually reject a large cross-copy population
+    assert res.metrics.as_dict()["metrics"]["filter"]["n_low_identity"] > 5_000
+    assert {b.pair for b in res.accepted} == {(0, 2), (2, 4), (4, 6), (6, 8)}
+    assert len(res.scaffolds) == 1
+    rep = _validate(res, sim)
+    assert rep["mean_identity"] > 0.99
+    assert rep["worst_junction_identity"] > 0.95
+
+
 @pytest.mark.slow
 @pytest.mark.skipif(
     not os.environ.get("TELOMERI_SCALE_TEST"),
