@@ -83,14 +83,19 @@ def bench_walks(cfg, graph, plan, repeats: int):
     return walks_per_s
 
 
-def bench_oracle(cfg, graph, plan, budget_s: float = 10.0, max_walks: int = 300):
-    """Single-core scalar baseline on the SAME graph and walk plan."""
-    from telomeri_tpu.walk.oracle import fast_choice_fn, walk_oracle
+def bench_oracle(cfg, graph, plan, budget_s: float = 18.0, max_walks: int = 600):
+    """Single-core scalar baseline on the SAME graph and walk plan.
 
-    idx = np.flatnonzero(plan.active)
+    Methodology (pinned, BASELINE.md): MONTE-CARLO rows only — the TPU metric is
+    dominated by the MC section (~97% of a production plan) and greedy oracle
+    walks do different per-step work, so mixing modes made vs_baseline depend on
+    the sampling pattern. Evenly-spaced MC rows, median over 3 passes (the 2-core
+    host's scheduling noise otherwise swings the rate ~1.5x), >= 6 s per pass."""
+    from telomeri_tpu.walk.oracle import fast_choice_fn, walk_oracle
+    from telomeri_tpu.walk.plan import MODE_MC
+
+    idx = np.flatnonzero(plan.active & (plan.mode == MODE_MC))
     sel = idx[np.linspace(0, len(idx) - 1, min(max_walks, len(idx))).astype(int)]
-    # median of 3 passes: the 2-core host's scheduling noise otherwise swings
-    # the baseline (and vs_baseline) by ~1.5x run-to-run
     rates = []
     for _ in range(3):
         choice = fast_choice_fn(cfg.mc_seed)  # fresh RNG: identical workload per pass
@@ -104,12 +109,20 @@ def bench_oracle(cfg, graph, plan, budget_s: float = 10.0, max_walks: int = 300)
                 break
         rates.append(n / (time.perf_counter() - t0))
     walks_per_s = float(np.median(rates))
-    log(f"oracle baseline: median {walks_per_s:,.1f} walks/s over 3 passes "
+    log(f"oracle baseline: median {walks_per_s:,.1f} MC walks/s over 3 passes "
         f"(single core; passes {[f'{r:,.0f}' for r in rates]})")
     return walks_per_s
 
 
 def bench_scoring(edges, repeats: int):
+    """Production rescore path (2-output Pallas kernel) at 64M rows.
+
+    Methodology (pinned round 2; tools/perf_probe.py): the per-call dispatch
+    overhead through the axon tunnel is 3-9 ms and VARIABLE, so small batches
+    measure the tunnel, not the kernel. At 64M rows the kernel's device time
+    (~6 ms at its measured ~650-725 GB/s marginal bandwidth = 80-88% of v5e
+    HBM peak) dominates. Geometry is stored TILED (rows, 128) on device — a
+    one-time ingest transform like device_put, outside the timed region."""
     import jax
     import jax.numpy as jnp
 
@@ -120,29 +133,30 @@ def bench_scoring(edges, repeats: int):
     )
 
     backend = "pallas" if jax.default_backend() not in ("cpu",) else "jnp"
-    # replicate the real edge set up to ~8M rows so the measurement is
-    # bandwidth-bound, not dispatch-latency-bound; geometry is stored TILED
-    # (rows, 128) on device — a one-time ingest transform like device_put, outside
-    # the timed region (scoring_tile_shape / score_overlaps_pallas_tiled)
-    reps = max(1, 8_000_000 // max(len(edges.nm), 1))
+    reps = max(1, 64_000_000 // max(len(edges.nm), 1))
     host = [np.tile(np.asarray(a, np.int32), reps) for a in edges.geom_args()]
     n = host[0].shape[0]
     rows_pad, cols = scoring_tile_shape(n)
     args = tuple(jax.device_put(
         np.pad(a, (0, rows_pad * cols - n)).reshape(rows_pad, cols)) for a in host)
-    run = (lambda: score_overlaps_pallas_tiled(*args)) if backend == "pallas" \
-        else (lambda: score_overlaps_jnp(*args))
+    del host
+    run = (lambda: score_overlaps_pallas_tiled(*args, block_m=1024, outputs=2)) \
+        if backend == "pallas" else (lambda: score_overlaps_jnp(*args))
 
-    fetch = lambda o: float(np.asarray(jnp.sum(o[1])))   # 4-byte scalar fetch
+    fetch = lambda o: float(np.asarray(jnp.sum(o[1][0])))   # 4-byte scalar fetch
     _ = fetch(run())
-    burst = max(repeats, 20)
+    burst = max(repeats, 10)
     t0 = time.perf_counter()
-    outs = [run() for _ in range(burst)]
-    _ = fetch(outs[-1]) + fetch(outs[0])
+    first = run()
+    last = None
+    for _i in range(burst - 1):
+        last = run()   # keep <= 2 outputs alive: a deep async queue of
+        #                multi-hundred-MB results would exhaust HBM
+    _ = fetch(last) + fetch(first)
     dt = (time.perf_counter() - t0) / burst
     ops = n / dt
-    log(f"scoring ({backend}, tiled): {n:,} overlaps in {dt*1e3:.3f} ms "
-        f"-> {ops/1e9:.2f} G overlaps/s")
+    log(f"scoring ({backend}, tiled, 2-out): {n:,} overlaps in {dt*1e3:.3f} ms "
+        f"-> {ops/1e9:.2f} G overlaps/s ({ops*40/1e9:.0f} GB/s incl dispatch)")
     return ops
 
 

@@ -247,11 +247,18 @@ def rescore_edges_device(edges: EdgeSoA, backend: str = "auto") -> EdgeSoA:
     arithmetic (kernels/scoring.py precision note)."""
     if len(edges) == 0:
         return edges
+    import jax as _jax
     import numpy as _np
 
-    from telomeri_tpu.kernels.scoring import score_overlaps
+    from telomeri_tpu.kernels.scoring import score_os_es2_pallas, score_overlaps
 
-    _, os_, _, es2 = score_overlaps(*edges.geom_args(), backend=backend)
+    if backend == "auto":
+        backend = "pallas" if _jax.default_backend() == "tpu" else "jnp"
+    if backend == "pallas":
+        # 2-output kernel: bitwise identical to the 4-output one, writes less
+        os_, es2 = score_os_es2_pallas(*edges.geom_args())
+    else:
+        _, os_, _, es2 = score_overlaps(*edges.geom_args(), backend=backend)
     edges.os_ = _np.asarray(os_)
     edges.es = _np.asarray(es2)
     return edges

@@ -56,6 +56,16 @@ def test_pallas_interpret_matches_np_bitwise(rng, n):
         np.testing.assert_array_equal(r, np.asarray(o))
 
 
+def test_pallas_two_output_variant_bitwise(rng):
+    from telomeri_tpu.kernels.scoring import score_os_es2_pallas
+
+    g = random_geom(rng, 9000)
+    _, os_ref, _, es2_ref = score_arrays_np(*args(g))
+    os_, es2 = score_os_es2_pallas(*args(g), interpret=True)
+    np.testing.assert_array_equal(os_ref, np.asarray(os_))
+    np.testing.assert_array_equal(es2_ref, np.asarray(es2))
+
+
 def test_zero_blocklen_guard():
     si, *_ = score_arrays_np(
         np.array([10]), np.array([0]), np.array([1]), np.array([1]),
