@@ -20,11 +20,11 @@ Performance structure (profiled on TPU v5e — see BASELINE.md):
     SLOWER than (49k, 128) on v5e. nbr/eid pad = -1, adv/es pad = 0, cum pad = row
     total so pads are never sampled.
   - ALL RNG is hoisted out of the scan: the (S, W) table of per-step uniform bits is
-    generated in one batched COUNTER draw per walk key before the scan —
-    bits(fold_in(key(seed), uid), shape=(S,)) — so the scan's serial critical path
-    carries no threefry hashing, and the table costs ONE threefry block per two
-    draws instead of two blocks per draw (fold_in per step was 17x slower on v5e:
-    55.9 ms vs 3.2 ms for a (32, 49k) table).
+    generated in one batched COUNTER draw per walk key before the scan
+    (_stable_bits_table), so the scan's serial critical path carries no threefry
+    hashing, and the table costs ONE threefry block per two draws instead of two
+    blocks per draw (fold_in per step was 17x slower on v5e: 55.9 ms vs 3.2 ms for
+    a (32, 49k) table).
   - The MC batch section runs a HISTORYLESS scan (carry = cur only) because MC
     draws never consult the path; the kill/success events are resolved post-scan
     with vectorized masking and a pack-sort duplicate scan (see _run_walks_mc_fast;
@@ -47,11 +47,12 @@ Semantics (deterministic, documented — SURVEY.md §7 "bit-identical" hard part
     row gather + compare-count: choice = #{j : cum_j <= r}). A
     draw landing on an already-visited destination KILLS the walk (HERA cycle kill,
     SURVEY.md §3 row 10); a walk with no positive-weight candidate dies. The draw
-    uses the walk's OWN stream: bits(fold_in(key(seed), uid), shape=(max_steps,))[step]
-    — a counter draw per walk key, invariant to batch size, padding, sharding, and
-    host count (SURVEY.md §5 item 3), and bit-reproducible across backends (integer
-    arithmetic has no rounding). Note the stream depends on max_steps (threefry
-    counter layout is length-dependent); max_steps is config-pinned per run.
+    uses the walk's OWN stream (_stable_bits_table): step s reads lane s%2 of
+    threefry2x32(fold_in(key(seed), uid), counters (2*(s//2), 2*(s//2)+1)) —
+    invariant to batch size, padding, sharding, host count (SURVEY.md §5 item 3),
+    AND max_steps (each block hashes fixed counters, so the stream is a stable
+    prefix: raising max_steps appends draws without changing earlier ones), and
+    bit-reproducible across backends (integer arithmetic has no rounding).
   - Step 0 honours plan.first_edge (deterministic first-edge enumeration); an invalid
     forced slot kills the walk.
   - A walk succeeds when it steps onto another anchor node (id < 2 * n_anchors); it
@@ -100,6 +101,33 @@ class GraphDev(NamedTuple):
     @property
     def h(self) -> int:
         return self.os_.shape[1]
+
+
+def _stable_bits_table(seed, uid: jax.Array, max_steps: int) -> jax.Array:
+    """(S, W) uint32 per-step MC draw table; stream prefix INVARIANT to max_steps.
+
+    jax.random.bits(key, (S,)) pairs threefry counter lanes by the array LENGTH
+    (lane i mixes with lane i + S//2), so every draw would change when max_steps
+    does — a cross-config reproducibility footgun (a walk that ends in 9 steps
+    should not re-decide because the step BUDGET moved from 32 to 64). Instead,
+    block b is hashed from the FIXED counter pair (2b, 2b+1) regardless of how
+    many blocks are drawn: step s = lane s%2 of block s//2. Same threefry cost
+    as the length-paired draw (one 2x32 block per two draws); verified stable
+    and engine-visible in tests/test_walk.py::test_mc_stream_stable_across_max_steps.
+    """
+    from jax.extend.random import threefry_2x32
+
+    n_blocks = (max_steps + 1) // 2
+    base = jax.random.key(seed)
+    keypairs = jax.vmap(
+        lambda u: jax.random.key_data(jax.random.fold_in(base, u)))(uid)  # (W, 2)
+    cnt = jnp.concatenate([
+        jnp.arange(0, 2 * n_blocks, 2, dtype=jnp.uint32),
+        jnp.arange(1, 2 * n_blocks, 2, dtype=jnp.uint32)])
+    out = jax.vmap(lambda kp: threefry_2x32(kp, cnt))(keypairs)  # (W, 2B)
+    w = out.shape[0]
+    bits = jnp.stack([out[:, :n_blocks], out[:, n_blocks:]], axis=2)
+    return jnp.transpose(bits.reshape(w, 2 * n_blocks)[:, :max_steps])  # (S, W)
 
 
 def mc_weights(es: np.ndarray) -> np.ndarray:
@@ -215,11 +243,7 @@ def _run_walks_mc_fast(
     w = p.start.shape[0]
     h = g.h
     anchor_lim = 2 * jnp.asarray(n_anchors, jnp.int32)
-    base = jax.random.key(seed)
-    walk_keys = jax.vmap(lambda u: jax.random.fold_in(base, u))(p.uid)
-    all_bits = jnp.transpose(jax.vmap(
-        lambda kk: jax.random.bits(kk, (max_steps,), dtype=jnp.uint32)
-    )(walk_keys))                                      # (S, W)
+    all_bits = _stable_bits_table(seed, p.uid, max_steps)  # (S, W)
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (w, h), 1)
 
@@ -319,16 +343,12 @@ def _run_walks_kind(
     use_mc = kind in ("mixed", "mc")
     use_greedy = kind in ("mixed", "greedy")
     if use_mc:
-        # hoist ALL RNG out of the scan: one batched (S, W) bits table. Each walk's
-        # stream is a COUNTER draw on its uid-folded key —
-        # bits(fold_in(key(seed), uid), (S,)) — one threefry block per two draws
-        # (fold_in per step costs two blocks per draw and measured 17x slower);
-        # the scan's serial critical path carries no threefry hashing at all
-        base = jax.random.key(seed)
-        walk_keys = jax.vmap(lambda u: jax.random.fold_in(base, u))(p.uid)
-        all_bits = jnp.transpose(jax.vmap(
-            lambda kk: jax.random.bits(kk, (max_steps,), dtype=jnp.uint32)
-        )(walk_keys))                                      # (S, W)
+        # hoist ALL RNG out of the scan: one batched (S, W) bits table of
+        # fixed-counter draws on each walk's uid-folded key (_stable_bits_table) —
+        # one threefry block per two draws (fold_in per step costs two blocks per
+        # draw and measured 17x slower); the scan's serial critical path carries
+        # no threefry hashing at all
+        all_bits = _stable_bits_table(seed, p.uid, max_steps)  # (S, W)
     else:
         all_bits = jnp.zeros((max_steps, w), jnp.uint32)
     is_mc = p.mode == MODE_MC

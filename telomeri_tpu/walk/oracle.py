@@ -34,23 +34,25 @@ class OracleWalk:
 
 def jax_choice_fn(seed: int, max_steps: int):
     """Per-(uid, step) sampler matching walk/engine.py's stream and integer
-    inverse-CDF math exactly: same per-uid counter draw
-    (bits(fold_in(key(seed), uid), (max_steps,))[step] — threefry counter output
-    depends on the draw LENGTH, so max_steps must match the engine's) -> same
+    inverse-CDF math exactly: same per-uid fixed-counter draw
+    (engine._stable_bits_table: step s = lane s%2 of threefry2x32 on counters
+    (2*(s//2), 2*(s//2)+1) — a stable prefix, invariant to max_steps) -> same
     32-bit draw -> same int32 cumsum comparison. Receives the row's PRECOMPUTED
     weight cumsum (GraphTensors.cumw), so hierarchical child slots — whose weight
     is a subtree sum, not derivable from the stored ES — sample identically."""
     import jax
-    import jax.numpy as jnp
 
-    base = jax.random.key(seed)
+    from telomeri_tpu.walk.engine import _stable_bits_table
+
+    uid_stream = jax.jit(
+        lambda u: _stable_bits_table(seed, u, max_steps)[:, 0])
     cache: dict[int, np.ndarray] = {}
 
     def fn(uid: int, step: int, cum_row: np.ndarray) -> int:
         stream = cache.get(uid)
         if stream is None:
-            stream = cache[uid] = np.asarray(jax.random.bits(
-                jax.random.fold_in(base, uid), (max_steps,), dtype=jnp.uint32))
+            stream = cache[uid] = np.asarray(
+                uid_stream(np.array([uid], np.int32)))
         total = int(cum_row[-1])
         if total <= 0:
             return -1

@@ -256,3 +256,32 @@ def test_oracle_fast_choice_dead_end_no_phantom_success():
     w = walk_oracle(g, 2, -1, MODE_MC, 0, 8, fast_choice_fn(0))
     assert not w.success and w.terminal == -1
     assert all(x >= 0 for x in w.nodes)
+
+
+def test_mc_stream_stable_across_max_steps():
+    """The MC draw stream is a stable PREFIX in max_steps (engine._stable_bits_table):
+    raising the step budget appends draws without changing earlier ones, so a walk
+    that terminates within the smaller budget makes IDENTICAL decisions under the
+    larger one (round-2 fix for the cross-config reproducibility footgun)."""
+    rng = np.random.default_rng(7)
+    n, k, n_anchors = 40, 8, 3
+    rows = {}
+    for src in range(2 * n_anchors, n):
+        dsts = rng.choice(n, size=rng.integers(1, k), replace=False)
+        rows[src] = [(int(d), float(rng.uniform(1, 50)), 1.0, 10) for d in dsts]
+    for a in range(2 * n_anchors):
+        dsts = rng.choice(np.arange(2 * n_anchors, n), size=4, replace=False)
+        rows[a] = [(int(d), float(rng.uniform(1, 50)), 1.0, 10) for d in dsts]
+    g = mk_graph(n, n_anchors, k, rows)
+    starts = [0, 1, 2, 3, 4, 5] * 8
+    p = mk_plan(starts, [-1] * len(starts), [MODE_MC] * len(starts))
+    r_small = run(g, p, seed=3, max_steps=9)   # odd budget: exercises the half block
+    r_big = run(g, p, seed=3, max_steps=32)
+    done_small = (r_small.success | (r_small.steps < 9))
+    assert done_small.any(), "want walks that terminate within the small budget"
+    idx = np.where(done_small)[0]
+    np.testing.assert_array_equal(r_small.steps[idx], r_big.steps[idx])
+    np.testing.assert_array_equal(r_small.success[idx], r_big.success[idx])
+    np.testing.assert_array_equal(r_small.terminal[idx], r_big.terminal[idx])
+    s = min(r_small.nodes.shape[1], r_big.nodes.shape[1])
+    np.testing.assert_array_equal(r_small.nodes[idx, :s], r_big.nodes[idx, :s])
