@@ -80,6 +80,10 @@ class ScaffoldConfig:
 
     # --- sharding ---
     walk_batch_multiple: int = 8   # pad walk batch to a multiple of this * n_devices
+    # "replicated": graph on every chip (fastest; graph must fit one HBM) or
+    # "rowshard": CSR rows sharded over the mesh (>HBM graphs; each walk step
+    # fetches rows via collectives — dist/rowshard.py). Requires --mesh.
+    graph_placement: str = "replicated"
 
     def __post_init__(self) -> None:
         if self.device_scoring not in ("auto", "on", "off"):
@@ -91,6 +95,10 @@ class ScaffoldConfig:
         if self.grouping not in ("windowed", "fixed"):
             raise ValueError(
                 f"grouping must be windowed/fixed, got {self.grouping!r}")
+        if self.graph_placement not in ("replicated", "rowshard"):
+            raise ValueError(
+                f"graph_placement must be replicated/rowshard, "
+                f"got {self.graph_placement!r}")
         for f in ("min_identity", "max_overhang_ratio"):
             v = getattr(self, f)
             if not 0.0 <= v <= 10.0:

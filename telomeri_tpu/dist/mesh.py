@@ -92,30 +92,45 @@ def run_walks_distributed(
     """Sharded walks + gathered consensus: the distributed score+walk+merge step.
 
     Returns (walk records [still walk-sharded], consensus [replicated]).
+    cfg.graph_placement == "rowshard" swaps the replicated graph for CSR rows
+    sharded over the same mesh (>HBM graphs; dist/rowshard.py) — byte-identical
+    results, walk steps fetch rows via collectives.
     """
-    if isinstance(g, GraphTensors):
-        n_anchors = g.n_anchors
-        g = shard_graph(g, mesh)
-    if n_anchors is None:
-        raise ValueError("n_anchors required when passing a GraphDev")
     if not isinstance(plan, WalkPlan):
         raise TypeError("run_walks_distributed expects a host WalkPlan")
-    if len(plan) % mesh.size != 0:
-        raise ValueError(f"walk batch {len(plan)} not divisible by mesh size {mesh.size}")
-    if plan.sections is not None:
-        # the sectioned fast path shards each section independently — each must
-        # divide the mesh (plan_walks pads to n_shards; rebuild the plan if the
-        # mesh size changed after planning)
-        for kind, (lo, hi) in plan.sections.items():
-            if (hi - lo) % mesh.size != 0:
-                raise ValueError(
-                    f"plan section {kind!r} ({hi - lo} walks) not divisible by "
-                    f"mesh size {mesh.size}; re-run plan_walks(n_shards="
-                    f"{mesh.size})")
+    if cfg.graph_placement == "rowshard":
+        from telomeri_tpu.dist.rowshard import run_walks_rowsharded
 
-    res = run_walks_sectioned(
-        g, plan, cfg.mc_seed, n_anchors=n_anchors, max_steps=cfg.max_steps,
-        sharding=walk_sharded(mesh))
+        if not isinstance(g, GraphTensors):
+            raise TypeError("rowshard placement needs host GraphTensors "
+                            "(rows are sharded at upload)")
+        n_anchors = g.n_anchors
+        res = run_walks_rowsharded(
+            g, plan, cfg.mc_seed, n_anchors=n_anchors,
+            max_steps=cfg.max_steps, mesh=mesh)
+    else:
+        if isinstance(g, GraphTensors):
+            n_anchors = g.n_anchors
+            g = shard_graph(g, mesh)
+        if n_anchors is None:
+            raise ValueError("n_anchors required when passing a GraphDev")
+        if len(plan) % mesh.size != 0:
+            raise ValueError(
+                f"walk batch {len(plan)} not divisible by mesh size {mesh.size}")
+        if plan.sections is not None:
+            # the sectioned fast path shards each section independently — each must
+            # divide the mesh (plan_walks pads to n_shards; rebuild the plan if the
+            # mesh size changed after planning)
+            for kind, (lo, hi) in plan.sections.items():
+                if (hi - lo) % mesh.size != 0:
+                    raise ValueError(
+                        f"plan section {kind!r} ({hi - lo} walks) not divisible by "
+                        f"mesh size {mesh.size}; re-run plan_walks(n_shards="
+                        f"{mesh.size})")
+
+        res = run_walks_sectioned(
+            g, plan, cfg.mc_seed, n_anchors=n_anchors, max_steps=cfg.max_steps,
+            sharding=walk_sharded(mesh))
 
     # all-gather the per-walk summaries (the "candidate path merge" collective), then
     # run the segment-reduce consensus replicated on every device.

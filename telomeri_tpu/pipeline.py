@@ -118,6 +118,9 @@ def run_pipeline(
     from telomeri_tpu.io.artifacts import load_graph, load_walks, save_graph, save_walks
 
     metrics = metrics or Metrics()
+    if cfg.graph_placement == "rowshard" and mesh is None:
+        raise ValueError("graph_placement='rowshard' shards CSR rows over a "
+                         "device mesh; pass --mesh N")
     if graph_artifact:
         with metrics.stage("load_sequences"):
             contigs = read_fasta(contigs_path, lazy=cfg.lazy_sequences)

@@ -225,7 +225,22 @@ def plan_to_device(p: WalkPlan, sharding=None) -> PlanDev:
 def _run_walks_mc_fast(
     g: GraphDev, p: PlanDev, seed, *, n_anchors, max_steps: int
 ) -> WalkResult:
+    """Local-gather wrapper over _mc_fast_core (see there for the algorithm)."""
+    return _mc_fast_core(
+        lambda cur: g.wide[cur], int(g.wide.shape[0]), g.h, p, seed,
+        n_anchors=n_anchors, max_steps=max_steps)
+
+
+def _mc_fast_core(
+    fetch_rows, n_nodes: int, h: int, p: PlanDev, seed, *, n_anchors, max_steps: int
+) -> WalkResult:
     """Historyless MC scan + post-hoc event resolution (the 97%-of-batch hot path).
+
+    fetch_rows(cur) -> (W, 6H) wide rows: a plain local gather for the replicated
+    graph (g.wide[cur]) or a collective fetch for the row-sharded >HBM mode
+    (dist/rowshard.py: all_gather(cur) + masked local gather + psum_scatter —
+    exact, since exactly one shard contributes a nonzero row). n_nodes is the
+    GLOBAL row count (the local table may be a shard).
 
     MC draws depend ONLY on (cur, uid, step) — the row CDF is static and revisits
     KILL rather than reroute — so the scan needs no visited table: its carry is just
@@ -241,14 +256,13 @@ def _run_walks_mc_fast(
     engine bit-for-bit: dead/revisit kill before an anchor hit at the same step
     counts (tests/test_walk.py sectioned≡mixed, engine≡oracle)."""
     w = p.start.shape[0]
-    h = g.h
     anchor_lim = 2 * jnp.asarray(n_anchors, jnp.int32)
     all_bits = _stable_bits_table(seed, p.uid, max_steps)  # (S, W)
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (w, h), 1)
 
     def step(cur, bits):
-        rows = g.wide[cur]                             # (W, 6H) ONE row gather
+        rows = fetch_rows(cur)                         # (W, 6H) ONE row gather
         cum_rows = rows[:, h:2 * h]
         total = cum_rows[:, -1]
         r = (bits & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32) % jnp.maximum(total, 1)
@@ -285,7 +299,7 @@ def _run_walks_mc_fast(
     mult = 64
     while mult < max_steps + 1:
         mult *= 2
-    if int(g.wide.shape[0]) * mult < 2**31:
+    if n_nodes * mult < 2**31:
         packed = jnp.sort(seq * mult + jax.lax.broadcasted_iota(
             jnp.int32, (w, max_steps + 1), 1), axis=1)
         adj_eq = (packed[:, 1:] // mult) == (packed[:, :-1] // mult)
@@ -337,8 +351,19 @@ def _run_walks_kind(
     if kind == "mc":
         return _run_walks_mc_fast(g, p, seed, n_anchors=n_anchors,
                                   max_steps=max_steps)
+    return _kind_core(
+        lambda cur: g.wide[cur], lambda cur: g.os_[cur], g.h, p, seed,
+        n_anchors=n_anchors, max_steps=max_steps, kind=kind)
+
+
+def _kind_core(
+    fetch_wide, fetch_os, h: int, p: PlanDev, seed, *,
+    n_anchors, max_steps: int, kind: str
+) -> WalkResult:
+    """Mixed/greedy scan body, parameterized by the row fetch (see _mc_fast_core
+    for the fetch contract; fetch_os(cur) -> (W, H) f32 OS rows)."""
     w = p.start.shape[0]
-    k = g.os_.shape[1]
+    k = h
     anchor_lim = 2 * jnp.asarray(n_anchors, jnp.int32)
     use_mc = kind in ("mixed", "mc")
     use_greedy = kind in ("mixed", "greedy")
@@ -369,7 +394,7 @@ def _run_walks_kind(
     def step(carry, inp):
         s, bits = inp
         cur = carry["cur"]
-        rows = g.wide[cur]                              # (W, 6H) ONE contiguous row gather
+        rows = fetch_wide(cur)                          # (W, 6H) ONE contiguous row gather
         nbr_rows = rows[:, :k]
 
         if use_greedy:
@@ -381,7 +406,7 @@ def _run_walks_kind(
             # greedy-ES: rows are ES-sorted, so the best candidate is the FIRST valid
             # slot; greedy-OS needs a masked argmax over OS. Merge: argmax over a
             # (W, K) key that is OS for mode-0 walks and a descending ramp otherwise.
-            osb = g.os_[cur]
+            osb = fetch_os(cur)
             ramp = -jax.lax.broadcasted_iota(jnp.float32, (w, k), 1)
             gkey = jnp.where(is_os[:, None], osb, ramp)
             masked = jnp.where(valid, gkey, -jnp.inf)
