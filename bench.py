@@ -59,8 +59,12 @@ def bench_walks(cfg, graph, plan, repeats: int):
 
     gd = graph_to_device(graph)
     sections = prepare_plan_sections(plan)   # plan upload once, not per call
+    # two-phase MC scan (walk/engine.py run_walks_mc_phased): bit-identical,
+    # continues only unresolved walks past step BENCH_PHASE. 0 disables.
+    phase = int(os.environ.get("BENCH_PHASE", str(cfg.mc_phase_steps)))
     run = lambda seed: run_walks_prepared(
-        gd, sections, seed, n_anchors=graph.n_anchors, max_steps=cfg.max_steps)
+        gd, sections, seed, n_anchors=graph.n_anchors, max_steps=cfg.max_steps,
+        mc_phase_steps=phase)
     t0 = time.perf_counter()
     res = run(cfg.mc_seed)
     n_succ = int(np.asarray(res.success).sum())   # forces full materialization

@@ -69,6 +69,12 @@ class ScaffoldConfig:
     mc_walks_per_end: int = 100    # Monte-Carlo repetitions per anchor end
     max_steps: int = 32            # fixed walk length bound (nodes beyond the start anchor)
     mc_seed: int = 0               # base PRNG seed; per-walk streams via fold_in(walk_uid)
+    # two-phase MC scan: run this many steps for every walk, then continue only
+    # the still-unresolved ones to max_steps (walk/engine.py run_walks_mc_phased;
+    # bit-identical output — the draw stream is a stable prefix). 0 = one phase.
+    # Most walks resolve within ~8 steps, so 8 cuts the gathered-row count up to
+    # ~2x on large batches. Single-process path only; ignored under --mesh.
+    mc_phase_steps: int = 8
 
     # --- path grouping / consensus ---
     # "windowed" (HERA sparse-region split: sorted path lengths split where
@@ -99,6 +105,9 @@ class ScaffoldConfig:
             raise ValueError(
                 f"graph_placement must be replicated/rowshard, "
                 f"got {self.graph_placement!r}")
+        if self.mc_phase_steps < 0:
+            raise ValueError(
+                f"mc_phase_steps must be >= 0, got {self.mc_phase_steps}")
         for f in ("min_identity", "max_overhang_ratio"):
             v = getattr(self, f)
             if not 0.0 <= v <= 10.0:

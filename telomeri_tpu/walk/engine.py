@@ -232,8 +232,10 @@ def _run_walks_mc_fast(
 
 
 def _mc_fast_core(
-    fetch_rows, n_nodes: int, h: int, p: PlanDev, seed, *, n_anchors, max_steps: int
-) -> WalkResult:
+    fetch_rows, n_nodes: int, h: int, p: PlanDev, seed, *, n_anchors,
+    max_steps: int, s0: int = 0, prior: tuple | None = None,
+    extras: bool = False,
+):
     """Historyless MC scan + post-hoc event resolution (the 97%-of-batch hot path).
 
     fetch_rows(cur) -> (W, 6H) wide rows: a plain local gather for the replicated
@@ -254,10 +256,34 @@ def _mc_fast_core(
     measured ~2x on v5e; folding the attrs into the row gather (vs a separate
     (W, S) recon gather) a further 1.23x. Event precedence matches the in-scan
     engine bit-for-bit: dead/revisit kill before an anchor hit at the same step
-    counts (tests/test_walk.py sectioned≡mixed, engine≡oracle)."""
+    counts (tests/test_walk.py sectioned≡mixed, engine≡oracle).
+
+    CONTINUATION (s0 > 0, the phased fast path — run_walks_mc_phased): resume
+    walks that had NO event in their first s0 steps. prior = (nodes (W, s0+1)
+    [start..node after step s0-1], eids (W, s0), adv_steps (W, s0), es_steps
+    (W, s0) — the RAW per-step attrs from the phase-1 extras); p.start must be
+    prior nodes[:, -1]. The scan covers absolute steps s0..max_steps-1, the
+    resolution runs in ABSOLUTE step indices, and the path_len/score_sum reduces
+    run over the RECOMPOSED full-length (W, S) step arrays — the same extent and
+    grouping as a one-phase run, so even the f32 score_sum rounding matches.
+    Because the per-walk draw stream is a stable prefix (_stable_bits_table) and
+    the prior prefix is event-free by construction, the result is bit-identical
+    to a single full-length run of the same walks (tests/test_walk.py phased
+    parity).
+
+    extras=True additionally returns the raw (W, S - s0) per-step (adv, es)
+    arrays (what a continuation needs as prior): returns (WalkResult, extras)."""
     w = p.start.shape[0]
+    n_new = max_steps - s0
     anchor_lim = 2 * jnp.asarray(n_anchors, jnp.int32)
-    all_bits = _stable_bits_table(seed, p.uid, max_steps)  # (S, W)
+    all_bits = _stable_bits_table(seed, p.uid, max_steps)[s0:]  # (S - s0, W)
+    if prior is None:
+        prior_nodes = p.start[:, None]                          # (W, 1)
+        prior_eids = jnp.zeros((w, 0), jnp.int32)
+        prior_adv = jnp.zeros((w, 0), jnp.int32)
+        prior_es = jnp.zeros((w, 0), jnp.float32)
+    else:
+        prior_nodes, prior_eids, prior_adv, prior_es = prior
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (w, h), 1)
 
@@ -280,14 +306,15 @@ def _mc_fast_core(
 
     _, (nxt_t, tot_t, eid_t, adv_t, es_t) = jax.lax.scan(
         step, p.start, all_bits, unroll=4)
-    nxts = jnp.transpose(nxt_t)                        # (W, S) destination per step
-    totals = jnp.transpose(tot_t)                      # (W, S)
+    nxts = jnp.transpose(nxt_t)                        # (W, S - s0) dest per step
+    totals = jnp.transpose(tot_t)                      # (W, S - s0)
 
-    # post-hoc event resolution (all (W, S)-vectorized, no serial dependence):
-    # the walk's node sequence is [start, nxt_0, ..]; for steps before the first
-    # event it matches the in-scan engine's visited list exactly
-    seq = jnp.concatenate([p.start[:, None], nxts], axis=1)        # (W, S+1)
-    steps_i = jax.lax.broadcasted_iota(jnp.int32, (w, max_steps), 1)
+    # post-hoc event resolution (all (W, S)-vectorized, no serial dependence) in
+    # ABSOLUTE step indices: the walk's node sequence is [start, .. prior .., new
+    # nxts]; for steps before the first event it matches the in-scan engine's
+    # visited list exactly
+    seq = jnp.concatenate([prior_nodes, nxts], axis=1)             # (W, S+1)
+    steps_i = jax.lax.broadcasted_iota(jnp.int32, (w, n_new), 1) + s0
     big = jnp.int32(max_steps + 1)
     first_true = lambda m: jnp.min(jnp.where(m, steps_i, big), axis=1)  # (W,)
     # revisit: nxt_t equals any EARLIER sequence entry. Pack (node, seq idx) into
@@ -295,7 +322,9 @@ def _mc_fast_core(
     # larger of an adjacent-equal pair carries the kill index. O(S log^2 S)
     # bitonic sort beats the O(S^2) pairwise broadcast ~5x at S=32 on v5e.
     # Entries from steps after t_dead are -1 (dead rows): they only duplicate each
-    # other, at indices > t_dead, so t_kill's min() is unaffected.
+    # other, at indices > t_dead, so t_kill's min() is unaffected. A continuation
+    # prior prefix is duplicate-free (no event), so the scan over the full seq
+    # still finds the first NEW revisit.
     mult = 64
     while mult < max_steps + 1:
         mult *= 2
@@ -307,9 +336,11 @@ def _mc_fast_core(
         # seq idx t+1 duplicates an earlier entry <=> step t stepped onto a revisit
         t_rev = jnp.min(jnp.where(adj_eq, later, big + 1), axis=1) - 1
     else:  # node*mult would overflow int32 (> ~33M oriented nodes): pairwise path
-        tri = (jax.lax.broadcasted_iota(jnp.int32, (max_steps, max_steps + 1), 1)
-               <= jax.lax.broadcasted_iota(jnp.int32, (max_steps, max_steps + 1), 0))
-        dup = ((nxts[:, :, None] == seq[:, None, :]) & tri[None]).any(-1)  # (W, S)
+        # step i (absolute s0+i, writing seq index s0+i+1) revisits seq index j
+        # iff j <= s0+i
+        tri = (jax.lax.broadcasted_iota(jnp.int32, (n_new, max_steps + 1), 1)
+               <= jax.lax.broadcasted_iota(jnp.int32, (n_new, max_steps + 1), 0) + s0)
+        dup = ((nxts[:, :, None] == seq[:, None, :]) & tri[None]).any(-1)  # (W, S-s0)
         t_rev = first_true(dup)
     t_dead = first_true(totals <= 0)
     t_kill = jnp.minimum(jnp.where(p.active, big, 0), jnp.minimum(t_rev, t_dead))
@@ -318,20 +349,114 @@ def _mc_fast_core(
     n_taken = jnp.where(success, t_anchor + 1, jnp.minimum(t_kill, max_steps))
     terminal = jnp.where(
         success, jnp.take_along_axis(
-            nxts, jnp.minimum(t_anchor, max_steps - 1)[:, None], 1)[:, 0], -1)
+            nxts, jnp.clip(t_anchor - s0, 0, n_new - 1)[:, None], 1)[:, 0], -1)
 
-    took = steps_i < n_taken[:, None]
-    nodes = jnp.concatenate([
-        p.start[:, None], jnp.where(took, nxts, -1)], axis=1)
-    eids = jnp.where(took, jnp.transpose(eid_t), -1)
-    path_len = jnp.sum(jnp.where(took, jnp.transpose(adv_t), 0), axis=1,
+    took = steps_i < n_taken[:, None]                  # (W, S - s0)
+    # the prior prefix is event-free, so its nodes/eids are all taken verbatim
+    nodes = jnp.concatenate([prior_nodes, jnp.where(took, nxts, -1)], axis=1)
+    eids = jnp.concatenate([prior_eids, jnp.where(took, jnp.transpose(eid_t), -1)],
+                           axis=1)
+    # path_len/score_sum reduce over the FULL-extent (W, S) step arrays with a
+    # full took mask, so one-phase and continuation use the identical reduce
+    # grouping (f32 sum rounding depends on it; the representative pick consumes
+    # score_sum — consensus/grouping.py rule 5)
+    adv_steps = jnp.transpose(adv_t)
+    es_steps = jax.lax.bitcast_convert_type(jnp.transpose(es_t), jnp.float32)
+    adv_full = jnp.concatenate([prior_adv, adv_steps], axis=1)     # (W, S)
+    es_full = jnp.concatenate([prior_es, es_steps], axis=1)
+    took_full = (jax.lax.broadcasted_iota(jnp.int32, (w, max_steps), 1)
+                 < n_taken[:, None])
+    path_len = jnp.sum(jnp.where(took_full, adv_full, 0), axis=1,
                        dtype=jnp.int32)
-    score_sum = jnp.sum(jnp.where(
-        took, jax.lax.bitcast_convert_type(jnp.transpose(es_t), jnp.float32), 0.0),
-        axis=1)
+    score_sum = jnp.sum(jnp.where(took_full, es_full, 0.0), axis=1)
 
-    return WalkResult(nodes=nodes, eids=eids, steps=n_taken, success=success,
-                      terminal=terminal, path_len=path_len, score_sum=score_sum)
+    res = WalkResult(nodes=nodes, eids=eids, steps=n_taken, success=success,
+                     terminal=terminal, path_len=path_len, score_sum=score_sum)
+    if extras:
+        return res, (adv_steps, es_steps)
+    return res
+
+
+@functools.partial(jax.jit, static_argnames=("max_steps",))
+def _mc_phase1(
+    g: GraphDev, p: PlanDev, seed, *, n_anchors, max_steps: int
+):
+    """Phase-1 of the phased MC path: the plain fast scan, plus the raw per-step
+    (adv, es) extras a continuation needs as its prior."""
+    return _mc_fast_core(
+        lambda cur: g.wide[cur], int(g.wide.shape[0]), g.h, p, seed,
+        n_anchors=n_anchors, max_steps=max_steps, extras=True)
+
+
+@functools.partial(jax.jit, static_argnames=("max_steps", "s1"))
+def _mc_phase2(
+    g: GraphDev, r1: WalkResult, ext1, uid, idx, seed, *, n_anchors,
+    max_steps: int, s1: int,
+) -> WalkResult:
+    """Continue + scatter-back for the phased MC path (run_walks_mc_phased).
+
+    idx: (W2,) int32 rows of r1 that were UNRESOLVED at step s1 (-1 pads to the
+    shape bucket). One dispatch: gather the prior records, scan absolute steps
+    s1..max_steps-1 via the continuation core, and scatter the finished rows back
+    over a column-padded copy of r1 (pad rows land on a dummy row W, sliced off)."""
+    w = r1.steps.shape[0]
+    ok = idx >= 0
+    ix = jnp.maximum(idx, 0)
+    adv1, es1 = ext1
+    prior_nodes = r1.nodes[ix]                         # (W2, s1+1)
+    prior = (prior_nodes, r1.eids[ix], adv1[ix], es1[ix])
+    p2 = PlanDev(start=prior_nodes[:, -1], first_edge=jnp.full_like(ix, -1),
+                 mode=jnp.full_like(ix, MODE_MC), uid=uid[ix], active=ok)
+    r2 = _mc_fast_core(
+        lambda cur: g.wide[cur], int(g.wide.shape[0]), g.h, p2, seed,
+        n_anchors=n_anchors, max_steps=max_steps, s0=s1, prior=prior)
+
+    pad_cols = lambda a, n, fill: jnp.concatenate(
+        [a, jnp.full((a.shape[0], n - a.shape[1]), fill, a.dtype)], axis=1)
+    sidx = jnp.where(ok, idx, w)                       # pads -> dummy row w
+    scat = lambda a, b: jnp.concatenate(
+        [a, jnp.zeros_like(a[:1])], axis=0).at[sidx].set(b)[:w]
+    return WalkResult(
+        nodes=scat(pad_cols(r1.nodes, max_steps + 1, -1), r2.nodes),
+        eids=scat(pad_cols(r1.eids, max_steps, -1), r2.eids),
+        steps=scat(r1.steps[:, None], r2.steps[:, None])[:, 0],
+        success=scat(r1.success[:, None], r2.success[:, None])[:, 0],
+        terminal=scat(r1.terminal[:, None], r2.terminal[:, None])[:, 0],
+        path_len=scat(r1.path_len[:, None], r2.path_len[:, None])[:, 0],
+        score_sum=scat(r1.score_sum[:, None], r2.score_sum[:, None])[:, 0])
+
+
+def run_walks_mc_phased(
+    g: GraphDev, p: PlanDev, seed, *, n_anchors, max_steps: int, s1: int,
+) -> WalkResult:
+    """Two-phase MC batch: scan s1 steps for everyone, then continue ONLY the
+    walks with no event yet (typically a small minority — BASELINE.md measured
+    62% of bench walks resolving within 8 steps). Bit-identical to the one-phase
+    engine (the draw stream is a stable prefix; tests/test_walk.py), at ~the
+    slot-step ratio fewer gathered rows: W*s1 + U*(S-s1) vs W*S. Costs one extra
+    dispatch + one host sync for the unresolved count (shape-bucketed, so the
+    continuation program is compile-cached); worth it for large batches where
+    the scan is bandwidth- not latency-bound (BASELINE.md walk roofline)."""
+    from telomeri_tpu.utils.shapes import bucket_len
+
+    if not (0 < s1 < max_steps):
+        return _run_walks_mc_fast(g, p, seed, n_anchors=n_anchors,
+                                  max_steps=max_steps)
+    r1, ext1 = _mc_phase1(g, p, seed, n_anchors=n_anchors, max_steps=s1)
+    # unresolved = active, ran to the phase bound, no event (an event at step
+    # s1-1 yields steps < s1 or success)
+    unresolved = np.asarray(p.active) & ~np.asarray(r1.success) \
+        & (np.asarray(r1.steps) == s1)                 # host sync, W bools
+    idx = np.flatnonzero(unresolved).astype(np.int32)
+    if idx.size == 0:
+        pad_cols = lambda a, n, fill: jnp.concatenate(
+            [a, jnp.full((a.shape[0], n - a.shape[1]), fill, a.dtype)], axis=1)
+        return r1._replace(nodes=pad_cols(r1.nodes, max_steps + 1, -1),
+                           eids=pad_cols(r1.eids, max_steps, -1))
+    w2 = bucket_len(idx.size, 8)
+    idx = np.pad(idx, (0, w2 - idx.size), constant_values=-1)
+    return _mc_phase2(g, r1, ext1, p.uid, jax.device_put(idx), seed,
+                      n_anchors=n_anchors, max_steps=max_steps, s1=s1)
 
 
 @functools.partial(jax.jit, static_argnames=("max_steps", "kind"))
@@ -550,17 +675,33 @@ def _run_walks_multi(
 
 def run_walks_prepared(
     g: GraphDev, sections: list[tuple[str, PlanDev]], seed, *,
-    n_anchors: int, max_steps: int,
+    n_anchors: int, max_steps: int, mc_phase_steps: int = 0,
 ) -> WalkResult:
     """Run device-resident plan sections (see prepare_plan_sections): one
     specialized scan per section, results concatenated back into plan row order.
     Bit-identical to run_walks on the same rows (same per-walk op order; uid-keyed
-    RNG)."""
+    RNG). mc_phase_steps > 0 runs the MC section two-phase (run_walks_mc_phased;
+    still bit-identical) — single-device/GSPMD-free callers only, since it syncs
+    the unresolved mask to the host mid-flight."""
     if not sections:  # graph with no walkable anchor ends
         z = lambda *shape: jnp.zeros(shape, jnp.int32)
         return WalkResult(nodes=z(0, max_steps + 1), eids=z(0, max_steps),
                           steps=z(0), success=jnp.zeros(0, bool), terminal=z(0),
                           path_len=z(0), score_sum=jnp.zeros(0, jnp.float32))
+    if 0 < mc_phase_steps < max_steps and any(k == "mc" for k, _ in sections):
+        parts = []
+        for kind, pd in sections:
+            if kind == "mc":
+                parts.append(run_walks_mc_phased(
+                    g, pd, seed, n_anchors=n_anchors, max_steps=max_steps,
+                    s1=mc_phase_steps))
+            else:
+                parts.append(_run_walks_kind(
+                    g, pd, seed, n_anchors=n_anchors, max_steps=max_steps,
+                    kind=kind))
+        if len(parts) == 1:
+            return parts[0]
+        return WalkResult(*[jnp.concatenate(a, axis=0) for a in zip(*parts)])
     return _run_walks_multi(
         g, tuple(pd for _, pd in sections), seed, n_anchors=n_anchors,
         max_steps=max_steps, kinds=tuple(kind for kind, _ in sections))
@@ -568,12 +709,13 @@ def run_walks_prepared(
 
 def run_walks_sectioned(
     g: GraphDev, plan: WalkPlan, seed, *, n_anchors: int, max_steps: int,
-    sharding=None,
+    sharding=None, mc_phase_steps: int = 0,
 ) -> WalkResult:
     """prepare_plan_sections + run_walks_prepared in one shot (single-run callers)."""
     return run_walks_prepared(
         g, prepare_plan_sections(plan, sharding), seed,
-        n_anchors=n_anchors, max_steps=max_steps)
+        n_anchors=n_anchors, max_steps=max_steps,
+        mc_phase_steps=0 if sharding is not None else mc_phase_steps)
 
 
 def run_walks_host(
@@ -583,5 +725,6 @@ def run_walks_host(
     res = run_walks_sectioned(
         graph_to_device(g), plan, cfg.mc_seed,
         n_anchors=g.n_anchors, max_steps=cfg.max_steps,
+        mc_phase_steps=cfg.mc_phase_steps,
     )
     return res.to_numpy()
