@@ -72,15 +72,20 @@ def bench_walks(cfg, graph, plan, repeats: int):
         f"{n_succ}/{plan.n_active} successful")
 
     # NOTE: block_until_ready does not reliably block under the axon tunnel; time a
-    # burst of launches bounded by tiny scalar fetches instead (amortized device time).
+    # burst of launches bounded by tiny scalar fetches instead (amortized device
+    # time). Keep <= 2 results alive: at the default 1.57M-walk batch each record
+    # set is ~0.4 GB of HBM, so a deep async queue would exhaust the chip.
     import jax.numpy as jnp
 
     burst = max(repeats, 20)
     t0 = time.perf_counter()
-    rs = [run(cfg.mc_seed + 1 + i) for i in range(burst)]
-    _ = int(np.asarray(jnp.sum(rs[-1].steps))) + int(np.asarray(jnp.sum(rs[0].steps)))
+    first = run(cfg.mc_seed + 1)
+    last = None
+    for i in range(1, burst):
+        last = run(cfg.mc_seed + 1 + i)
+    _ = int(np.asarray(jnp.sum(last.steps))) + int(np.asarray(jnp.sum(first.steps)))
     dt = (time.perf_counter() - t0) / burst
-    total_steps = int(np.asarray(jnp.sum(rs[-1].steps)))
+    total_steps = int(np.asarray(jnp.sum(last.steps)))
     walks_per_s = plan.n_active / dt
     log(f"walk amortized over {burst}: {dt*1e3:.2f} ms/call "
         f"-> {walks_per_s:,.0f} walks/s, {total_steps/dt:,.0f} walk-steps/s")
@@ -259,7 +264,10 @@ def main():
         bench_hg002_graph()
         return
 
-    mc = int(os.environ.get("BENCH_MC_WALKS", "4096"))
+    # 131072 MC walks/end -> a 1.57M-walk batch: the measured walks/s peak on the
+    # realistic bench graph (tools/phased_sweep.py round 2: 2.11M/s at 49k walks,
+    # 2.63M at 786k, 2.97M at 1.57M, 2.62M at 3.1M — BASELINE.md batch-width table)
+    mc = int(os.environ.get("BENCH_MC_WALKS", "131072"))
     repeats = int(os.environ.get("BENCH_REPEATS", "5"))
 
     cfg, edges, graph, plan = build_problem(mc)

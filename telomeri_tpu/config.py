@@ -72,9 +72,12 @@ class ScaffoldConfig:
     # two-phase MC scan: run this many steps for every walk, then continue only
     # the still-unresolved ones to max_steps (walk/engine.py run_walks_mc_phased;
     # bit-identical output — the draw stream is a stable prefix). 0 = one phase.
-    # Most walks resolve within ~8 steps, so 8 cuts the gathered-row count up to
-    # ~2x on large batches. Single-process path only; ignored under --mesh.
-    mc_phase_steps: int = 8
+    # Most walks resolve within ~8 steps, so 8 cuts the gathered-row count ~2x on
+    # large batches — but the scheme pays ONE device->host sync, which costs
+    # ~300-400 ms on a remote-tunneled device link (measured, BASELINE.md) vs ~us
+    # on a locally-attached host. Default off; enable on local-host deployments
+    # with big walk batches. Single-process path only; ignored under --mesh.
+    mc_phase_steps: int = 0
 
     # --- path grouping / consensus ---
     # "windowed" (HERA sparse-region split: sorted path lengths split where
@@ -86,10 +89,12 @@ class ScaffoldConfig:
 
     # --- sharding ---
     walk_batch_multiple: int = 8   # pad walk batch to a multiple of this * n_devices
-    # "replicated": graph on every chip (fastest; graph must fit one HBM) or
+    # "replicated": graph on every chip (fastest; graph must fit one HBM);
     # "rowshard": CSR rows sharded over the mesh (>HBM graphs; each walk step
-    # fetches rows via collectives — dist/rowshard.py). Requires --mesh.
-    graph_placement: str = "replicated"
+    # fetches rows via collectives — dist/rowshard.py; requires --mesh);
+    # "auto": replicated unless the device tables exceed ~75% of one device's
+    # memory AND a multi-device mesh is available, then rowshard (pipeline.py).
+    graph_placement: str = "auto"
 
     def __post_init__(self) -> None:
         if self.device_scoring not in ("auto", "on", "off"):
@@ -101,9 +106,9 @@ class ScaffoldConfig:
         if self.grouping not in ("windowed", "fixed"):
             raise ValueError(
                 f"grouping must be windowed/fixed, got {self.grouping!r}")
-        if self.graph_placement not in ("replicated", "rowshard"):
+        if self.graph_placement not in ("auto", "replicated", "rowshard"):
             raise ValueError(
-                f"graph_placement must be replicated/rowshard, "
+                f"graph_placement must be auto/replicated/rowshard, "
                 f"got {self.graph_placement!r}")
         if self.mc_phase_steps < 0:
             raise ValueError(

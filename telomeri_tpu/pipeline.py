@@ -96,6 +96,36 @@ def build_graph(contigs: SequenceSet, reads: SequenceSet, paf: PafRecords,
     return edges, graph
 
 
+def _resolve_placement(cfg, graph, mesh, metrics):
+    """graph_placement="auto": replicated unless the packed walk tables exceed
+    ~75% of one device's memory and a multi-device mesh is available (then the
+    row-sharded >HBM mode, dist/rowshard.py). Returns the cfg to run walks with."""
+    import dataclasses
+
+    import jax
+
+    from telomeri_tpu.walk.engine import device_table_bytes
+
+    if cfg.graph_placement != "auto":
+        return cfg
+    placement = "replicated"
+    if mesh is not None and mesh.size > 1:
+        need = device_table_bytes(graph)
+        try:
+            limit = jax.devices()[0].memory_stats().get("bytes_limit")
+        except Exception:
+            limit = None
+        budget = 0.75 * (limit if limit else 16 * 2**30)
+        if need > budget:
+            placement = "rowshard"
+            log.info(
+                "graph tables %.1f GiB exceed 75%% of device memory "
+                "(%.1f GiB budget): row-sharding over the %d-device mesh",
+                need / 2**30, budget / 2**30, mesh.size)
+    metrics.set("graph_placement", placement)
+    return dataclasses.replace(cfg, graph_placement=placement)
+
+
 def run_pipeline(
     contigs_path: str,
     reads_path: str,
@@ -158,11 +188,12 @@ def run_pipeline(
         if mesh is not None:
             from telomeri_tpu.dist.mesh import run_walks_distributed
 
+            walk_cfg = _resolve_placement(cfg, graph, mesh, metrics)
             with metrics.stage("run_walks"), maybe_trace(trace_dir):
                 # records stay device-resident and walk-sharded: in a multi-process
                 # run they are not host-addressable; the stitch stage fetches only
                 # the representative rows (dist.fetch_walk_rows)
-                walks, cons = run_walks_distributed(graph, plan, cfg, mesh)
+                walks, cons = run_walks_distributed(graph, plan, walk_cfg, mesh)
             with metrics.stage("consensus"):
                 bridges = compress(cons)
         else:

@@ -206,6 +206,15 @@ def pack_wide(nbr, cumw, eid, adv, es, h: int) -> np.ndarray:
     ], axis=1)
 
 
+def device_table_bytes(g: GraphTensors) -> int:
+    """HBM footprint of the packed walk tables (wide 6H int32 + OS H f32) —
+    what graph_to_device will allocate. Used by the auto placement decision
+    (pipeline.py: replicated vs rowshard)."""
+    n = g.nbr.shape[0]
+    h = lane_width(g.nbr.shape[1])
+    return n * (6 * h + h) * 4
+
+
 def graph_to_device(g: GraphTensors, sharding=None) -> GraphDev:
     put = (lambda a: jax.device_put(a, sharding)) if sharding is not None else jax.device_put
     h = lane_width(g.nbr.shape[1])
@@ -382,10 +391,20 @@ def _mc_phase1(
     g: GraphDev, p: PlanDev, seed, *, n_anchors, max_steps: int
 ):
     """Phase-1 of the phased MC path: the plain fast scan, plus the raw per-step
-    (adv, es) extras a continuation needs as its prior."""
-    return _mc_fast_core(
+    (adv, es) extras a continuation needs as its prior, plus the unresolved mask
+    BIT-PACKED into uint32 words — the phased driver's host sync then moves W/8
+    bytes instead of three W-element arrays (a ~50x smaller transfer; the sync
+    is the entire overhead of phasing on a remote-tunneled device link)."""
+    r1, ext1 = _mc_fast_core(
         lambda cur: g.wide[cur], int(g.wide.shape[0]), g.h, p, seed,
         n_anchors=n_anchors, max_steps=max_steps, extras=True)
+    unresolved = p.active & ~r1.success & (r1.steps == max_steps)
+    w = unresolved.shape[0]
+    n_pad = -w % 32
+    u = jnp.pad(unresolved, (0, n_pad)).reshape(-1, 32).astype(jnp.uint32)
+    packed = jnp.sum(u << jax.lax.broadcasted_iota(jnp.uint32, u.shape, 1),
+                     axis=1, dtype=jnp.uint32)
+    return r1, ext1, packed
 
 
 @functools.partial(jax.jit, static_argnames=("max_steps", "s1"))
@@ -442,12 +461,12 @@ def run_walks_mc_phased(
     if not (0 < s1 < max_steps):
         return _run_walks_mc_fast(g, p, seed, n_anchors=n_anchors,
                                   max_steps=max_steps)
-    r1, ext1 = _mc_phase1(g, p, seed, n_anchors=n_anchors, max_steps=s1)
+    r1, ext1, packed = _mc_phase1(g, p, seed, n_anchors=n_anchors, max_steps=s1)
     # unresolved = active, ran to the phase bound, no event (an event at step
-    # s1-1 yields steps < s1 or success)
-    unresolved = np.asarray(p.active) & ~np.asarray(r1.success) \
-        & (np.asarray(r1.steps) == s1)                 # host sync, W bools
-    idx = np.flatnonzero(unresolved).astype(np.int32)
+    # s1-1 yields steps < s1 or success); ONE host sync of W/8 packed bytes
+    pk = np.asarray(packed)
+    bits = (pk[:, None] >> np.arange(32, dtype=np.uint32)) & 1
+    idx = np.flatnonzero(bits.reshape(-1)[:p.start.shape[0]]).astype(np.int32)
     if idx.size == 0:
         pad_cols = lambda a, n, fill: jnp.concatenate(
             [a, jnp.full((a.shape[0], n - a.shape[1]), fill, a.dtype)], axis=1)

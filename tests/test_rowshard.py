@@ -129,3 +129,38 @@ def test_plan_not_divisible_raises(toy_graph):
             run_walks_rowsharded(
                 toy_graph, plan, CFG.mc_seed, n_anchors=toy_graph.n_anchors,
                 max_steps=CFG.max_steps, mesh=mesh)
+
+
+def test_auto_placement_resolution(toy_graph, monkeypatch):
+    """graph_placement='auto': replicated for small graphs; rowshard only when
+    the packed tables exceed the device budget AND a multi-device mesh exists."""
+    import dataclasses
+
+    from telomeri_tpu import pipeline as pl
+    from telomeri_tpu.utils.logging import Metrics
+    from telomeri_tpu.walk import engine
+
+    cfg = dataclasses.replace(CFG, graph_placement="auto")
+    mesh = make_walk_mesh(8)
+
+    m = Metrics()
+    out = pl._resolve_placement(cfg, toy_graph, mesh, m)
+    assert out.graph_placement == "replicated"
+
+    # a "graph" that claims not to fit one device must flip to rowshard
+    monkeypatch.setattr(engine, "device_table_bytes", lambda g: 10**18)
+    m = Metrics()
+    out = pl._resolve_placement(cfg, toy_graph, mesh, m)
+    assert out.graph_placement == "rowshard"
+
+    # ... but not without a multi-device mesh
+    out = pl._resolve_placement(cfg, toy_graph, make_walk_mesh(1), Metrics())
+    assert out.graph_placement == "replicated"
+    out = pl._resolve_placement(cfg, toy_graph, None, Metrics())
+    assert out.graph_placement == "replicated"
+
+    # explicit placements pass through untouched
+    for v in ("replicated", "rowshard"):
+        explicit = dataclasses.replace(CFG, graph_placement=v)
+        assert pl._resolve_placement(explicit, toy_graph, mesh,
+                                     Metrics()).graph_placement == v
