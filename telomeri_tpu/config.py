@@ -54,9 +54,12 @@ class ScaffoldConfig:
 
     # --- graph tensorization ---
     max_degree: int = 64           # CSR row width K; keep top-K out-edges by (ES desc, dst asc)
-    # "auto": score edges with the Pallas kernel when a TPU is the default backend,
-    # numpy otherwise; "on"/"off" force it. One backend scores the whole run, so
-    # results stay deterministic (kernels/scoring.py precision note).
+    # "auto": score edges with the Pallas kernel when a TPU is the default
+    # backend AND the edge count is large enough to amortize the kernel's
+    # first-ever compile (>= 32M rows; pipeline.py) — below that the host numpy
+    # scores stand (same fp32 op order, bit-identical; kernels/scoring.py).
+    # "on"/"off" force it. One backend scores the whole run, so results stay
+    # deterministic (kernels/scoring.py precision note).
     device_scoring: str = "auto"
 
     # --- host ingest ---

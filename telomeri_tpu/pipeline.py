@@ -83,11 +83,21 @@ def build_graph(contigs: SequenceSet, reads: SequenceSet, paf: PafRecords,
         from telomeri_tpu.io.geometry import rescore_edges_device
 
         on_tpu = jax.default_backend() == "tpu"
-        if cfg.device_scoring == "on" or on_tpu:
+        # "auto" engages the device kernel only at scale: below the threshold the
+        # host numpy scores from build_edges stand (bit-identical op order —
+        # kernels/scoring.py; numpy does a few M rows in <1 s) and the run skips
+        # the kernel's first-ever compile, which costs MINUTES on a
+        # remote-compile TPU attachment (measured: 427-705 s per shape bucket).
+        # At >= ~32M rows the device's ~20x throughput and the one-time compile
+        # amortize. "on" forces the device path at any size.
+        want = cfg.device_scoring == "on" or (on_tpu and len(edges) >= 32_000_000)
+        if want:
             with metrics.stage("score_edges_device"):
                 edges = rescore_edges_device(
                     edges, backend="pallas" if on_tpu else "jnp")
             metrics.set("scoring_backend", "pallas" if on_tpu else "jnp")
+        else:
+            metrics.set("scoring_backend", "numpy")
     with metrics.stage("tensorize"):
         seq_len = np.concatenate([
             contigs.lengths, reads.lengths]) if n_seqs else np.empty(0, np.int64)

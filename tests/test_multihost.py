@@ -11,6 +11,7 @@ import pytest
 WORKER = r"""
 import os, sys
 pid = int(sys.argv[1]); nproc = int(sys.argv[2]); port = sys.argv[3]; lam = sys.argv[4]
+placement = sys.argv[5] if len(sys.argv) > 5 else "replicated"
 os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
 import jax
 jax.config.update("jax_platforms", "cpu")
@@ -22,7 +23,7 @@ from telomeri_tpu.dist.mesh import make_walk_mesh, run_walks_distributed
 from telomeri_tpu.consensus.grouping import compress
 from telomeri_tpu.walk.plan import plan_walks
 
-cfg = ScaffoldConfig(mc_walks_per_end=64, max_steps=24)
+cfg = ScaffoldConfig(mc_walks_per_end=64, max_steps=24, graph_placement=placement)
 contigs, reads, paf = load_inputs(f"{lam}/contigs.fa", f"{lam}/reads.fa",
                                   f"{lam}/read2contig.paf", f"{lam}/read2read.paf")
 edges, graph = build_graph(contigs, reads, paf, cfg)
@@ -44,14 +45,16 @@ def _free_port() -> int:
 
 
 @pytest.mark.slow
-def test_two_process_multihost(tmp_path):
+@pytest.mark.parametrize("placement", ["replicated", "rowshard"])
+def test_two_process_multihost(tmp_path, placement):
     script = tmp_path / "worker.py"
     script.write_text(WORKER)
     env = dict(os.environ, PYTHONPATH=os.path.dirname(LAMBDA) and
                os.path.abspath(os.path.join(LAMBDA, "..", "..")))
     port = str(_free_port())
     procs = [
-        subprocess.Popen([sys.executable, str(script), str(i), "2", port, LAMBDA],
+        subprocess.Popen([sys.executable, str(script), str(i), "2", port, LAMBDA,
+                          placement],
                          stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
                          text=True, env=env)
         for i in range(2)
