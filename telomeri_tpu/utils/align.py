@@ -38,16 +38,30 @@ def _codes(seq: np.ndarray) -> np.ndarray:
 
 
 def pack_kmers(seq: np.ndarray, k: int) -> np.ndarray:
-    """All k-mers of seq packed 2 bits/base into int64 (requires 1 <= k <= 31)."""
+    """All k-mers of seq packed 2 bits/base into int64 (requires 1 <= k <= 31).
+
+    Base at offset 0 lands in the HIGHEST bit pair. Built by doubling —
+    j-mers combine into 2j-mers — so a genome-scale pack is O(log k) array
+    passes instead of O(k) (2.4x at k=24; this is the validator's single
+    largest cost at whole-genome scale)."""
     assert 1 <= k <= 31, k
     if len(seq) < k:
         return np.empty(0, np.int64)
-    c = _codes(seq)
     n = len(seq) - k + 1
-    km = np.zeros(n, np.int64)
-    for j in range(k):
-        km = (km << 2) | c[j : j + n]
-    return km
+    pieces = {1: _codes(seq)}
+    j = 1
+    while j * 2 <= k:
+        a = pieces[j]
+        pieces[j * 2] = (a[: len(a) - j] << (2 * j)) | a[j:]
+        j *= 2
+    acc = None
+    pos = 0
+    for j in sorted(pieces, reverse=True):
+        if k & j:
+            seg = pieces[j][pos : pos + n]
+            acc = seg if acc is None else (acc << (2 * j)) | seg
+            pos += j
+    return acc
 
 
 @dataclass
@@ -57,13 +71,21 @@ class KmerIndex:
     k: int
     sorted_km: np.ndarray   # sorted packed k-mers
     sorted_pos: np.ndarray  # their positions in the sequence
+    raw: np.ndarray | None = None  # unsorted packed k-mers (position-indexed);
+    #                                kept so sub-windows can SLICE instead of
+    #                                re-packing (k-mers are position-local —
+    #                                the _split_segment hot path)
 
     @staticmethod
-    def build(seq: np.ndarray, k: int) -> "KmerIndex":
-        km = pack_kmers(seq, k)
+    def build(seq: np.ndarray, k: int, keep_raw: bool = False) -> "KmerIndex":
+        return KmerIndex.from_packed(pack_kmers(seq, k), k, keep_raw=keep_raw)
+
+    @staticmethod
+    def from_packed(km: np.ndarray, k: int, keep_raw: bool = False) -> "KmerIndex":
         order = np.argsort(km, kind="stable")
         return KmerIndex(k=k, sorted_km=km[order],
-                         sorted_pos=order.astype(np.int64))
+                         sorted_pos=order.astype(np.int64),
+                         raw=km if keep_raw else None)
 
     def lookup_unique(self, query_km: np.ndarray) -> np.ndarray:
         """Position of each query k-mer if it occurs EXACTLY once, else -1."""
@@ -231,24 +253,38 @@ _GIVEUP = 65536      # beyond this, a segment counts as unaligned (cost = column
 
 
 def _split_segment(q: np.ndarray, g: np.ndarray, qlo: int, qhi: int,
-                   glo: int, ghi: int, k: int, out: list) -> None:
+                   glo: int, ghi: int, k: int, out: list,
+                   qkm: np.ndarray | None = None,
+                   gkm: np.ndarray | None = None, k0: int = -1) -> None:
     """Recursively re-anchor a long inter-anchor gap with LOCALLY-unique k-mers
     (repeat interiors have no globally-unique k-mers but are locally unique),
-    pushing (qlo, qhi, glo, ghi) leaf segments onto `out`."""
+    pushing (qlo, qhi, glo, ghi) leaf segments onto `out`.
+
+    qkm/gkm: optional PRE-PACKED k-mers of the FULL q/g at k0 (position-indexed).
+    K-mers are position-local, so a window's k-mers are a plain slice — this
+    removes the pack_kmers calls that dominated validator time (26k calls at
+    E. coli scale before; profiled 2026-08-20). Recursion that lowers k falls
+    back to packing."""
     qlen, glen = qhi - qlo, ghi - glo
     if qlen <= _SMALL_Q or glen <= 0 or k < 11:
         out.append((qlo, qhi, glo, ghi))
         return
-    idx = KmerIndex.build(g[glo:ghi], k)
+    if gkm is not None and k == k0:
+        idx = KmerIndex.from_packed(gkm[glo:max(glo, ghi - k + 1)], k)
+    else:
+        idx = KmerIndex.build(g[glo:ghi], k)
     stride = max(k // 2, 8)
-    qk = pack_kmers(q[qlo:qhi], k)
+    if qkm is not None and k == k0:
+        qk = qkm[qlo:max(qlo, qhi - k + 1)]
+    else:
+        qk = pack_kmers(q[qlo:qhi], k)
     qp = np.arange(0, len(qk), stride)
     gp = idx.lookup_unique(qk[qp])
     hit = gp >= 0
     qp, gp = qp[hit], gp[hit]
     if len(qp) == 0:
         # no anchors at this k: try a smaller k once, then give up -> leaf
-        _split_segment(q, g, qlo, qhi, glo, ghi, k - 6, out)
+        _split_segment(q, g, qlo, qhi, glo, ghi, k - 6, out, qkm, gkm, k0)
         return
     keep = lis_chain(gp)
     qp, gp = qp[keep] + qlo, gp[keep] + glo
@@ -258,19 +294,23 @@ def _split_segment(q: np.ndarray, g: np.ndarray, qlo: int, qhi: int,
         a, b = int(bounds_q[i]), int(bounds_q[i + 1])
         c, d = int(bounds_g[i]), int(bounds_g[i + 1])
         if b - a > _SMALL_Q and (b - a, d - c) != (qlen, glen):
-            _split_segment(q, g, a, b, c, d, k, out)
+            _split_segment(q, g, a, b, c, d, k, out, qkm, gkm, k0)
         else:
             out.append((a, b, c, d))
 
 
 def chain_align(query: np.ndarray, genome: np.ndarray, gidx: KmerIndex,
-                stride: int = 32) -> ChainAlignment | None:
+                stride: int = 32,
+                qkm: np.ndarray | None = None) -> ChainAlignment | None:
     """Align query to genome via unique-k-mer chaining + per-gap edit distance.
 
     Returns None when no unique anchor chain exists (unplaceable query).
-    gidx must be KmerIndex.build(genome, k); stride samples query k-mers."""
+    gidx must be KmerIndex.build(genome, k) — pass keep_raw=True so repeat-gap
+    re-anchoring slices pre-packed k-mers instead of re-packing (perf only).
+    stride samples query k-mers; qkm optionally passes pack_kmers(query, k)."""
     k = gidx.k
-    qkm = pack_kmers(query, k)
+    if qkm is None:
+        qkm = pack_kmers(query, k)
     if len(qkm) == 0:
         return None
     qp_all = np.arange(0, len(qkm), stride)
@@ -288,7 +328,8 @@ def chain_align(query: np.ndarray, genome: np.ndarray, gidx: KmerIndex,
         a, b = int(qp[i]), int(qp[i + 1])
         c, d = int(gp[i]), int(gp[i + 1])
         if b - a > _SMALL_Q:
-            _split_segment(query, genome, a, b, c, d, k, segs)
+            _split_segment(query, genome, a, b, c, d, k, segs,
+                           qkm, gidx.raw, k)
         else:
             segs.append((a, b, c, d))
 

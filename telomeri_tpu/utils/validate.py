@@ -66,14 +66,15 @@ def place_scaffold(name: str, scaffold: np.ndarray, genomes: dict, k: int = 24,
     scaffold = np.asarray(scaffold)
     oriented = {1: scaffold, -1: reverse_complement(scaffold)}
     for gname, g in genomes.items():
-        garr, gidx = g if isinstance(g, tuple) else (g, KmerIndex.build(g, k))
+        garr, gidx = g if isinstance(g, tuple) else (
+            g, KmerIndex.build(g, k, keep_raw=True))
         kms = {s: pack_kmers(seq, k) for s, seq in oriented.items()}
         hits = {s: _hit_count(kms[s], gidx, stride * 8) for s in (1, -1)}
         order = sorted((1, -1), key=lambda s: -hits[s])
         for s in order:
             if hits[s] == 0 and hits[order[0]] > 0:
                 continue
-            al = chain_align(oriented[s], garr, gidx, stride=stride)
+            al = chain_align(oriented[s], garr, gidx, stride=stride, qkm=kms[s])
             if al is None:
                 continue
             if al.identity > best.identity:
@@ -118,7 +119,7 @@ def validate_assembly(scaffolds, genomes, k: int = 24, stride: int = 32,
     gmap = {}
     for i, n in enumerate(genomes.names):
         arr = np.asarray(genomes.seqs[i])
-        gmap[n] = (arr, KmerIndex.build(arr, k))   # index built ONCE per genome
+        gmap[n] = (arr, KmerIndex.build(arr, k, keep_raw=True))  # built ONCE per genome
     placements = []
     worst_junction = None
     for i, name in enumerate(scaffolds.names):
