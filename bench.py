@@ -1,39 +1,77 @@
 """Benchmark harness: Monte-Carlo walks/s/chip (primary) + overlaps scored/s.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where vs_baseline is
+Prints JSON lines: {"metric", "value", "unit", "vs_baseline"} where vs_baseline is
 the speedup of the TPU walk engine over the single-core scalar oracle (BASELINE.md
 target: >= 100x; the C++ reference was unreadable, SURVEY.md §0, so the oracle is the
 measured stand-in — walk/oracle.py performs the same per-step work).
 
-Timed region (SURVEY.md §4.3): run_walks on device-resident graph+plan, after one
-warmup compile; median of N repeats. Host ingest excluded. Secondary metrics go to
-stderr.
+DRIVER-PROOF STRUCTURE (round 3; BENCH_r02 was rc=124 with no metric recorded):
+the axon tunnel's compile+first-run cost is VOLATILE (3 s..205 s measured for the
+identical program; one observed backend-init hang >560 s), so this file is an
+ORCHESTRATOR that never touches the device itself:
 
-Env knobs: BENCH_SCALE (default "ecoli-like"), BENCH_REPEATS, BENCH_MC_WALKS.
+  1. build the problem host-only + measure the single-core oracle FIRST;
+  2. run the small 49k-walk measurement in a CHILD process under a hard timeout
+     (exact-PID kill, chip released on kill) and print the official JSON line
+     the moment it lands;
+  3. only if wall-clock budget remains (BENCH_BUDGET_S, default 420 s), re-measure
+     at the tuned peak batch (1.57M walks) in a second child and print an updated
+     line — the driver reads the tail, last line wins;
+  4. always exit 0.
+
+A line from step 2 therefore exists even on a bad-tunnel day; the peak number is
+only ever *recorded*, never *claimed without recording* (VERDICT r2 items 1+8).
+
+Timed region (SURVEY.md §4.3): run_walks on device-resident graph+plan, after one
+warmup compile; amortized burst. Host ingest excluded. Secondary metrics on stderr.
+
+Env knobs: BENCH_SCALE, BENCH_REPEATS, BENCH_MC_WALKS (small-batch MC/end, default
+4096 -> ~49.6k walks), BENCH_PEAK_MC_WALKS (peak MC/end, default 131072 -> 1.57M
+walks; 0 disables the peak stage), BENCH_BUDGET_S, BENCH_PHASE.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import tempfile
 import time
 
 import numpy as np
 
+T_START = time.monotonic()
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "420"))
+
+
+def budget_left() -> float:
+    return BUDGET_S - (time.monotonic() - T_START)
+
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def build_problem(mc_walks_per_end: int):
+def emit(walks_per_s: float, oracle_per_s: float, n_walks: int):
+    """The official driver-parsed line (stdout, flushed immediately)."""
+    print(json.dumps({
+        "metric": "mc_walks_per_s_per_chip",
+        "value": round(walks_per_s, 1),
+        "unit": "walks/s",
+        "vs_baseline": round(walks_per_s / oracle_per_s, 2),
+        "batch_walks": n_walks,
+    }), flush=True)
+
+
+def build_problem(mc_walks_per_end: int, device_scoring: str = "auto"):
     from telomeri_tpu.config import ScaffoldConfig
     from telomeri_tpu.pipeline import build_graph, load_inputs
     from telomeri_tpu.sim import SimConfig, simulate, write_dataset
     from telomeri_tpu.walk.plan import plan_walks
 
-    cfg = ScaffoldConfig(mc_walks_per_end=mc_walks_per_end, max_steps=32)
+    cfg = ScaffoldConfig(mc_walks_per_end=mc_walks_per_end, max_steps=32,
+                         device_scoring=device_scoring)
     t0 = time.perf_counter()
     sim = simulate(SimConfig(
         genome_len=400_000, repeat_len=5_000, n_repeat_copies=6,
@@ -73,7 +111,7 @@ def bench_walks(cfg, graph, plan, repeats: int):
 
     # NOTE: block_until_ready does not reliably block under the axon tunnel; time a
     # burst of launches bounded by tiny scalar fetches instead (amortized device
-    # time). Keep <= 2 results alive: at the default 1.57M-walk batch each record
+    # time). Keep <= 2 results alive: at the 1.57M-walk peak batch each record
     # set is ~0.4 GB of HBM, so a deep async queue would exhaust the chip.
     import jax.numpy as jnp
 
@@ -253,39 +291,104 @@ def bench_hg002_graph():
         "unit": "walks/s", "vs_baseline": round(gib, 2)}))
 
 
-def main():
+# ---------------------------------------------------------------------------
+# Orchestrator (parent, device-free) + child stage
+# ---------------------------------------------------------------------------
+
+CHILD_MARK = "BENCH_CHILD_RESULT "
+
+
+def _child_walks():
+    """Child stage (BENCH_STAGE=walks): owns the device. Builds the problem,
+    measures walks/s at BENCH_MC_WALKS, prints one marked JSON line on stdout.
+    Optionally runs the secondary scoring bench (BENCH_DO_SCORING=1, stderr)."""
     os.makedirs("/root/repo/.jax_cache", exist_ok=True)
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     log(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
-
-    if os.environ.get("BENCH_SCALE") == "hg002-graph":
-        bench_hg002_graph()
-        return
-
-    # 131072 MC walks/end -> a 1.57M-walk batch: the measured walks/s peak on the
-    # realistic bench graph (tools/phased_sweep.py round 2: 2.11M/s at 49k walks,
-    # 2.63M at 786k, 2.97M at 1.57M, 2.62M at 3.1M — BASELINE.md batch-width table)
-    mc = int(os.environ.get("BENCH_MC_WALKS", "131072"))
+    mc = int(os.environ["BENCH_MC_WALKS"])
     repeats = int(os.environ.get("BENCH_REPEATS", "5"))
-
     cfg, edges, graph, plan = build_problem(mc)
     walks_per_s = bench_walks(cfg, graph, plan, repeats)
     if os.environ.get("BENCH_SCALING"):
         bench_scaling(cfg, graph, None, repeats)
-    oracle_per_s = bench_oracle(cfg, graph, plan)
-    try:
-        bench_scoring(edges, repeats)
-    except Exception as e:  # scoring is a secondary metric; never fail the bench
-        log(f"scoring bench failed: {e}")
+    print(CHILD_MARK + json.dumps(
+        {"walks_per_s": walks_per_s, "n_walks": plan.n_active}), flush=True)
+    if os.environ.get("BENCH_DO_SCORING"):
+        try:
+            bench_scoring(edges, repeats)
+        except Exception as e:   # secondary metric; never fail the stage
+            log(f"scoring bench failed: {e}")
 
-    print(json.dumps({
-        "metric": "mc_walks_per_s_per_chip",
-        "value": round(walks_per_s, 1),
-        "unit": "walks/s",
-        "vs_baseline": round(walks_per_s / oracle_per_s, 2),
-    }))
+
+def _run_child(mc_walks: int, timeout_s: float, do_scoring: bool = False):
+    """Run the walks stage in a child under a hard timeout. The child is killed
+    by exact PID on overrun (subprocess.run terminates its own child only),
+    releasing the chip. Returns the parsed result dict or None."""
+    env = dict(os.environ, BENCH_STAGE="walks", BENCH_MC_WALKS=str(mc_walks))
+    if do_scoring:
+        env["BENCH_DO_SCORING"] = "1"
+    log(f"[bench] child: {mc_walks} MC/end, timeout {timeout_s:.0f}s "
+        f"(budget left {budget_left():.0f}s)")
+    try:
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)], env=env,
+            stdout=subprocess.PIPE, stderr=None,   # stderr inherits -> driver tail
+            timeout=max(timeout_s, 10), text=True)
+    except subprocess.TimeoutExpired:
+        log(f"[bench] child TIMED OUT after {timeout_s:.0f}s (killed; chip released)")
+        return None
+    for line in reversed(p.stdout.splitlines()):
+        if line.startswith(CHILD_MARK):
+            return json.loads(line[len(CHILD_MARK):])
+    log(f"[bench] child exited rc={p.returncode} without a result line")
+    return None
+
+
+def main():
+    if os.environ.get("BENCH_STAGE") == "walks":
+        _child_walks()
+        return
+    if os.environ.get("BENCH_SCALE") == "hg002-graph":
+        os.makedirs("/root/repo/.jax_cache", exist_ok=True)
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+        log(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
+        bench_hg002_graph()
+        return
+
+    # --- Orchestrator: device-free; children own the chip. ---
+    # 4096 MC/end -> ~49.6k walks: the production operating point (hg002-sub runs
+    # 95k-walk plans) and the batch whose compile+burst reliably fits the driver
+    # window. The 1.57M peak batch (BASELINE.md batch-width table: 2.97M walks/s)
+    # runs second, only on remaining budget.
+    mc_small = int(os.environ.get("BENCH_MC_WALKS", "4096"))
+    mc_peak = int(os.environ.get("BENCH_PEAK_MC_WALKS", "131072"))
+
+    # Oracle first (host-only, no backend init: device_scoring="off" skips the
+    # jax.default_backend() probe in build_graph — scores are bit-identical numpy).
+    cfg, _edges, graph, plan = build_problem(mc_small, device_scoring="off")
+    oracle_per_s = bench_oracle(cfg, graph, plan)
+
+    # Small batch: the guaranteed line. One retry if the tunnel eats the first try.
+    res = _run_child(mc_small, timeout_s=min(budget_left() - 60, 330))
+    if res is None and budget_left() > 100:
+        res = _run_child(mc_small, timeout_s=budget_left() - 30)
+    if res is None:
+        log("[bench] no device measurement obtained within budget; exiting rc=0 "
+            "(oracle baseline was %.0f walks/s)" % oracle_per_s)
+        return
+    emit(res["walks_per_s"], oracle_per_s, res["n_walks"])
+
+    # Peak batch: optional, budget-gated; last line wins in the driver tail.
+    if mc_peak > mc_small and budget_left() > 150:
+        res2 = _run_child(mc_peak, timeout_s=budget_left() - 30, do_scoring=True)
+        if res2 is not None:
+            emit(res2["walks_per_s"], oracle_per_s, res2["n_walks"])
+    else:
+        log(f"[bench] skipping peak batch (budget left {budget_left():.0f}s)")
 
 
 if __name__ == "__main__":
