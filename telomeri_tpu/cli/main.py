@@ -21,10 +21,24 @@ from telomeri_tpu.config import ScaffoldConfig
 from telomeri_tpu.utils.logging import Metrics, log, setup_logging
 
 
+def _parse_bool(s: str) -> bool:
+    v = s.strip().lower()
+    if v in ("1", "true", "yes", "on"):
+        return True
+    if v in ("0", "false", "no", "off"):
+        return False
+    raise argparse.ArgumentTypeError(f"expected a boolean, got {s!r}")
+
+
 def _add_config_flags(p: argparse.ArgumentParser) -> None:
     for f in dataclasses.fields(ScaffoldConfig):
         flag = "--" + f.name.replace("_", "-")
-        p.add_argument(flag, type=type(f.default), default=None,
+        # argparse's type=bool would parse "--flag False" as True (any nonempty
+        # string is truthy); map bool fields through an explicit parser.
+        ty = type(f.default)
+        if ty is bool:
+            ty = _parse_bool
+        p.add_argument(flag, type=ty, default=None,
                        help=f"override config field {f.name} (default {f.default})")
 
 

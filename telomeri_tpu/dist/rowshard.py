@@ -66,8 +66,7 @@ def shard_graph_rows(g: GraphTensors, mesh: Mesh) -> GraphDev:
     cum = 0 so the row total is 0); no real node id ever points at them.
     """
     h = lane_width(g.nbr.shape[1])
-    wide = pack_wide(g.nbr, _cum_arrays(g), g.eid, g.adv, g.es, h)
-    os_ = _pad_cols(g.os_, h, 0.0).astype(np.float32)
+    wide = pack_wide(g.nbr, _cum_arrays(g), g.eid, g.adv, g.es, g.os_, h)
     n = wide.shape[0]
     n_pad = -n % mesh.size
     if n_pad:
@@ -75,9 +74,7 @@ def shard_graph_rows(g: GraphTensors, mesh: Mesh) -> GraphDev:
         pad[:, :h] = -1          # nbr
         pad[:, 2 * h:3 * h] = -1  # eid
         wide = np.concatenate([wide, pad], axis=0)
-        os_ = np.concatenate([os_, np.zeros((n_pad, h), np.float32)], axis=0)
-    return GraphDev(wide=jax.device_put(wide, row_sharded(mesh)),
-                    os_=jax.device_put(os_, row_sharded(mesh)))
+    return GraphDev(wide=jax.device_put(wide, row_sharded(mesh)))
 
 
 def _collective_fetch(table: jax.Array):
@@ -104,7 +101,7 @@ def _run_multi_rowsharded(
     g: GraphDev, pds: tuple, seed, *, n_anchors, max_steps: int, kinds: tuple,
     n_nodes: int, mesh: Mesh,
 ) -> WalkResult:
-    h = g.os_.shape[1]
+    h = g.wide.shape[1] // 6
 
     # shard_map over everything: graph rows P(axis, None), plan/results P(axis);
     # the scalar seed/n_anchors ride replicated. Plan sections are flattened into
@@ -113,22 +110,25 @@ def _run_multi_rowsharded(
     # OUTSIDE the shard_map: concatenating the local sections inside the body
     # would interleave the global order by device ([g0,m0,g1,m1,...]) instead of
     # the replicated engine's [greedy..., mc...] contract (pipeline.py emit order).
-    def body(wide, os_, seed_, na, *flat_plans):
+    def body(wide, seed_, na, *flat_plans):
         def one(pd_arrays, kind):
             pd = PlanDev(*pd_arrays)
             if kind == "mc":
                 return tuple(_mc_fast_core(
                     _collective_fetch(wide), n_nodes, h, pd, seed_,
                     n_anchors=na, max_steps=max_steps))
+            # OS rides in the wide row's [5H:6H) block: ONE collective fetch
+            # per step for greedy too (advisor r2: the separate OS fetch
+            # doubled the all_gather + psum_scatter count)
             return tuple(_kind_core(
-                _collective_fetch(wide), _collective_fetch(os_), h, pd, seed_,
+                _collective_fetch(wide), h, pd, seed_,
                 n_anchors=na, max_steps=max_steps, kind=kind))
 
         return tuple(one(flat_plans[i * 5:(i + 1) * 5], kind)
                      for i, kind in enumerate(kinds))
 
     flat = [a for pd in pds for a in pd]
-    in_specs = (P(WALK_AXIS, None), P(WALK_AXIS, None), P(), P()) + \
+    in_specs = (P(WALK_AXIS, None), P(), P()) + \
         tuple(P(WALK_AXIS) for _ in flat)
     n_fields = len(WalkResult._fields)
     # check_vma off: the engine cores init scan carries from replicated zeros
@@ -141,7 +141,7 @@ def _run_multi_rowsharded(
                          out_specs=tuple(
                              tuple(P(WALK_AXIS) for _ in range(n_fields))
                              for _ in kinds))(
-        g.wide, g.os_, jnp.asarray(seed, jnp.int32),
+        g.wide, jnp.asarray(seed, jnp.int32),
         jnp.asarray(n_anchors, jnp.int32), *flat)
     if len(outs) == 1:
         return WalkResult(*outs[0])

@@ -88,19 +88,21 @@ class GraphDev(NamedTuple):
       [2H:3H) eid      edge ids (pad -1)
       [3H:4H) adv      advance / path-length contribution in bp (pad 0)
       [4H:5H) es_bits  ES score f32 bits (pad 0)
-      [5H:6H) zero     keeps the row a whole number of 128-lane tiles
+      [5H:6H) os_bits  OS score f32 bits (pad 0; only greedy-OS walks read it)
     The scan issues ONE contiguous row gather per step and resolves the transition,
     the sampler, AND the per-step edge attributes from it with in-register lane
     reduces — no separate score/attr gathers anywhere (gather op count, not bytes,
-    dominates: a second (W, S) recon gather measured +23% on v5e). os_ stays
-    separate (padded to (N, H)): only greedy-OS walks read it."""
+    dominates: a second (W, S) recon gather measured +23% on v5e). OS lives in
+    the row's last block, which existed anyway as tile-alignment padding (the row
+    must be a whole number of 128-lane tiles) — a separate (N, H) f32 OS table
+    cost a second scattered gather in the greedy path and, row-sharded, a second
+    all_gather + psum_scatter per step (advisor r2)."""
 
     wide: jax.Array      # (N, 6H) int32
-    os_: jax.Array       # (N, H) f32
 
     @property
     def h(self) -> int:
-        return self.os_.shape[1]
+        return self.wide.shape[1] // 6
 
 
 def _stable_bits_table(seed, uid: jax.Array, max_steps: int) -> jax.Array:
@@ -118,7 +120,11 @@ def _stable_bits_table(seed, uid: jax.Array, max_steps: int) -> jax.Array:
     from jax.extend.random import threefry_2x32
 
     n_blocks = (max_steps + 1) // 2
-    base = jax.random.key(seed)
+    # Pin the impl: key_data is fed straight to threefry_2x32 below, which
+    # needs a (2,) uint32 key. Under jax_default_prng_impl=rbg (common on TPU
+    # for partitionable RNG) the default key_data is (4,) and the stream would
+    # break; an explicit impl makes the draw table independent of global config.
+    base = jax.random.key(seed, impl="threefry2x32")
     keypairs = jax.vmap(
         lambda u: jax.random.key_data(jax.random.fold_in(base, u)))(uid)  # (W, 2)
     cnt = jnp.concatenate([
@@ -188,7 +194,7 @@ def _pad_cols(a: np.ndarray, h: int, fill) -> np.ndarray:
     return np.concatenate([a, pad], axis=1)
 
 
-def pack_wide(nbr, cumw, eid, adv, es, h: int) -> np.ndarray:
+def pack_wide(nbr, cumw, eid, adv, es, os_, h: int) -> np.ndarray:
     """Pack the (N, K) CSR tables into the (N, 6H) wide row (GraphDev docstring).
     cum pads carry the row total: compare-count (#{cum <= r}, r < total) never
     lands on them, and a zero-total row stays dead."""
@@ -202,25 +208,24 @@ def pack_wide(nbr, cumw, eid, adv, es, h: int) -> np.ndarray:
         _pad_cols(eid, h, -1).astype(np.int32),
         _pad_cols(adv, h, 0).astype(np.int32),
         _pad_cols(es, h, 0.0).astype(np.float32).view(np.int32),
-        np.zeros((nbr.shape[0], h), np.int32),
+        _pad_cols(os_, h, 0.0).astype(np.float32).view(np.int32),
     ], axis=1)
 
 
 def device_table_bytes(g: GraphTensors) -> int:
-    """HBM footprint of the packed walk tables (wide 6H int32 + OS H f32) —
-    what graph_to_device will allocate. Used by the auto placement decision
+    """HBM footprint of the packed walk table (wide 6H int32) — what
+    graph_to_device will allocate. Used by the auto placement decision
     (pipeline.py: replicated vs rowshard)."""
     n = g.nbr.shape[0]
     h = lane_width(g.nbr.shape[1])
-    return n * (6 * h + h) * 4
+    return n * 6 * h * 4
 
 
 def graph_to_device(g: GraphTensors, sharding=None) -> GraphDev:
     put = (lambda a: jax.device_put(a, sharding)) if sharding is not None else jax.device_put
     h = lane_width(g.nbr.shape[1])
     return GraphDev(
-        wide=put(pack_wide(g.nbr, _cum_arrays(g), g.eid, g.adv, g.es, h)),
-        os_=put(_pad_cols(g.os_, h, 0.0)),
+        wide=put(pack_wide(g.nbr, _cum_arrays(g), g.eid, g.adv, g.es, g.os_, h)),
     )
 
 
@@ -496,16 +501,18 @@ def _run_walks_kind(
         return _run_walks_mc_fast(g, p, seed, n_anchors=n_anchors,
                                   max_steps=max_steps)
     return _kind_core(
-        lambda cur: g.wide[cur], lambda cur: g.os_[cur], g.h, p, seed,
+        lambda cur: g.wide[cur], g.h, p, seed,
         n_anchors=n_anchors, max_steps=max_steps, kind=kind)
 
 
 def _kind_core(
-    fetch_wide, fetch_os, h: int, p: PlanDev, seed, *,
+    fetch_wide, h: int, p: PlanDev, seed, *,
     n_anchors, max_steps: int, kind: str
 ) -> WalkResult:
     """Mixed/greedy scan body, parameterized by the row fetch (see _mc_fast_core
-    for the fetch contract; fetch_os(cur) -> (W, H) f32 OS rows)."""
+    for the fetch contract). OS rides in the wide row's [5H:6H) block, so the
+    greedy-OS selector needs no second fetch (advisor r2: row-sharded, a second
+    fetch doubled the collective count per step)."""
     w = p.start.shape[0]
     k = h
     anchor_lim = 2 * jnp.asarray(n_anchors, jnp.int32)
@@ -550,7 +557,7 @@ def _kind_core(
             # greedy-ES: rows are ES-sorted, so the best candidate is the FIRST valid
             # slot; greedy-OS needs a masked argmax over OS. Merge: argmax over a
             # (W, K) key that is OS for mode-0 walks and a descending ramp otherwise.
-            osb = fetch_os(cur)
+            osb = jax.lax.bitcast_convert_type(rows[:, 5 * k:6 * k], jnp.float32)
             ramp = -jax.lax.broadcasted_iota(jnp.float32, (w, k), 1)
             gkey = jnp.where(is_os[:, None], osb, ramp)
             masked = jnp.where(valid, gkey, -jnp.inf)

@@ -83,7 +83,7 @@ def test_row_padding_dead_rows(toy_graph):
     assert gdev.wide.shape[0] >= n
     pad = np.asarray(gdev.wide)[n:]
     if pad.size:
-        h = gdev.os_.shape[1]
+        h = gdev.h
         assert (pad[:, :h] == -1).all()          # nbr slots dead
         assert (pad[:, h:2 * h] == 0).all()      # zero CDF => total 0 => dead row
 
@@ -120,15 +120,25 @@ def test_rowshard_requires_mesh(toy_dataset_dir, tmp_path):
 
 
 def test_plan_not_divisible_raises(toy_graph):
+    """The error path must ALWAYS be exercised: force a section whose length is
+    not divisible by the mesh size (plan_walks(n_shards=3) only usually produces
+    one — advisor r2 flagged the conditional as silently passable)."""
+    import dataclasses
+
     mesh = make_walk_mesh(8)
     plan = plan_walks(toy_graph, CFG, n_shards=3)
     sections_divisible = plan.sections is not None and all(
         (hi - lo) % 8 == 0 for lo, hi in plan.sections.values())
-    if not sections_divisible:
-        with pytest.raises(ValueError):
-            run_walks_rowsharded(
-                toy_graph, plan, CFG.mc_seed, n_anchors=toy_graph.n_anchors,
-                max_steps=CFG.max_steps, mesh=mesh)
+    if sections_divisible:
+        # shrink the mc section by one row: guaranteed non-divisible by 8
+        lo, hi = plan.sections["mc"]
+        assert hi - lo >= 2
+        plan = dataclasses.replace(
+            plan, sections={**plan.sections, "mc": (lo, hi - 1)})
+    with pytest.raises(ValueError):
+        run_walks_rowsharded(
+            toy_graph, plan, CFG.mc_seed, n_anchors=toy_graph.n_anchors,
+            max_steps=CFG.max_steps, mesh=mesh)
 
 
 def test_auto_placement_resolution(toy_graph, monkeypatch):

@@ -113,7 +113,7 @@ def probe_walks():
                      -1).astype(np.int32),
         deg=deg, seq_len=np.full(n // 2, 20000, np.int32), n_anchors=n_anchors)
     gd = graph_to_device(g)
-    jax.block_until_ready(gd.os_)
+    jax.block_until_ready(gd.wide)
     log(f"graph on device: N={n}, K={k}")
 
     for w in (49_152, 98_304, 196_608, 393_216, 786_432):
