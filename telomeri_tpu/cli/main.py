@@ -108,7 +108,8 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--preset", choices=sorted(PRESETS),
                    help="evaluation-config preset (flags override its fields)")
     for f in dataclasses.fields(SimConfig):
-        g.add_argument("--" + f.name.replace("_", "-"), type=type(f.default),
+        ty = _parse_bool if type(f.default) is bool else type(f.default)
+        g.add_argument("--" + f.name.replace("_", "-"), type=ty,
                        default=None, help=f"default {f.default}")
     return ap
 

@@ -71,6 +71,22 @@ class SimConfig:
     # no scaffolder could resolve them; don't simulate that combination
     # expecting success.
     copy_divergence: float = 0.0
+    # Chimeric (split) reads: with this FRACTION of extra reads, a read is the
+    # concatenation of two error-injected segments from DISJOINT genome loci —
+    # a library-prep artifact every real PacBio/ONT dataset contains. A real
+    # aligner emits one PAF row per segment (same query name, disjoint query
+    # intervals, unrelated targets): the classic misjoin bait for scaffolders
+    # (VERDICT r2 item 5). 0.0 = off (byte-identical streams to round-2 sim).
+    chimera_rate: float = 0.0
+    # Coverage dropouts: n intervals of dropout_len bp with NO reads (any read
+    # intersecting one is discarded, like an unclonable/unsequencable region).
+    # A dropout spanning a repeat junction makes that gap honestly unbridgeable
+    # — correct behavior is to LEAVE it unbridged, not invent a join.
+    n_dropouts: int = 0
+    dropout_len: int = 0
+    # explicit dropout starts (tests aim one at a specific repeat junction);
+    # empty = place n_dropouts uniformly at random
+    dropout_starts: tuple = ()
     seed: int = 0
 
 
@@ -164,6 +180,20 @@ class ReadMap:
 
 
 @dataclass
+class AlignUnit:
+    """One contiguously-mapping piece of a read (normal reads: exactly one;
+    chimeric reads: one per segment). PAF rows are emitted per unit; query
+    coordinates are q_off + the segment-local offset, in the read's forward
+    frame (matching how minimap2 reports a split read: same query name and
+    length, disjoint query intervals)."""
+
+    read: int        # index into reads/read_names
+    q_off: int       # segment start in the read's forward frame
+    q_len: int       # FULL read length (PAF column 2)
+    rmap: ReadMap    # segment genome interval / strand / coordinate map
+
+
+@dataclass
 class SimData:
     genome: np.ndarray                    # uint8 ground truth
     contig_names: list[str]
@@ -173,6 +203,9 @@ class SimData:
     reads: list[np.ndarray]
     read_pos: list[tuple[int, int, int]]  # (start, end, strand) on genome
     read_maps: list[ReadMap] = field(default_factory=list)
+    units: list[AlignUnit] = field(default_factory=list)
+    chimeric: list[int] = field(default_factory=list)   # read indices
+    dropouts: list[tuple[int, int]] = field(default_factory=list)
     paf_read_contig: list[str] = field(default_factory=list)  # PAF text lines
     paf_read_read: list[str] = field(default_factory=list)
 
@@ -265,6 +298,7 @@ def simulate(cfg: SimConfig) -> SimData:
     starts_r = rng.integers(0, np.maximum(cfg.genome_len - lens, 1))
     strands = rng.integers(0, 2, n_reads)
     reads, read_pos, read_names, read_maps = [], [], [], []
+    units: list[AlignUnit] = []
     for i in range(n_reads):
         a = int(starts_r[i])
         b = min(a + int(lens[i]), cfg.genome_len)
@@ -273,11 +307,71 @@ def simulate(cfg: SimConfig) -> SimData:
         read_maps.append(rmap)
         read_pos.append((a, b, int(strands[i])))
         read_names.append(f"read{i:05d}")
+        units.append(AlignUnit(read=i, q_off=0, q_len=rmap.length, rmap=rmap))
+
+    # Chimeric reads: two disjoint-locus segments concatenated (knob doc above).
+    # Drawn AFTER the normal reads so chimera_rate=0 keeps every earlier stream
+    # byte-identical (same gating idea as del/ins in _make_read).
+    chimeric: list[int] = []
+    if cfg.chimera_rate > 0:
+        n_chim = max(1, int(round(cfg.chimera_rate * n_reads)))
+        half = max(cfg.read_len_mean // 2, cfg.read_min_len)
+        for t in range(n_chim):
+            spans = np.clip(
+                rng.normal(half, max(cfg.read_len_sd // 2, 1), 2).astype(np.int64),
+                cfg.read_min_len, cfg.genome_len // 4)
+            sa, sb = int(spans[0]), int(spans[1])
+            for _try in range(64):
+                a1 = int(rng.integers(0, max(cfg.genome_len - sa, 1)))
+                a2 = int(rng.integers(0, max(cfg.genome_len - sb, 1)))
+                if min(a1 + sa, a2 + sb) + cfg.min_sim_overlap < max(a1, a2):
+                    break   # disjoint loci (with margin): a real split artifact
+            st1, st2 = int(rng.integers(0, 2)), int(rng.integers(0, 2))
+            idx = len(reads)
+            seq1, map1 = _make_read(genome, a1, a1 + sa, st1, cfg, rng)
+            seq2, map2 = _make_read(genome, a2, a2 + sb, st2, cfg, rng)
+            full = np.concatenate([seq1, seq2])
+            reads.append(full)
+            read_names.append(f"read{idx:05d}")
+            # read_pos/read_maps keep ONE entry per read (segment 1) for the
+            # legacy per-read views; PAF emission iterates `units`, which carry
+            # both segments with their query offsets in the read-forward frame
+            read_pos.append((a1, a1 + sa, st1))
+            read_maps.append(map1)
+            units.append(AlignUnit(read=idx, q_off=0, q_len=len(full), rmap=map1))
+            units.append(AlignUnit(read=idx, q_off=map1.length, q_len=len(full),
+                                   rmap=map2))
+            chimeric.append(idx)
+
+    # Coverage dropouts: discard any read with a segment intersecting one.
+    dropouts: list[tuple[int, int]] = []
+    if (cfg.n_dropouts > 0 or cfg.dropout_starts) and cfg.dropout_len > 0:
+        if cfg.dropout_starts:
+            dropouts = [(int(s), int(s) + cfg.dropout_len)
+                        for s in cfg.dropout_starts]
+        else:
+            for _ in range(cfg.n_dropouts):
+                s = int(rng.integers(0, max(cfg.genome_len - cfg.dropout_len, 1)))
+                dropouts.append((s, s + cfg.dropout_len))
+        dead = set()
+        for u in units:
+            if any(u.rmap.a < e and s < u.rmap.b for s, e in dropouts):
+                dead.add(u.read)
+        keep = [i for i in range(len(reads)) if i not in dead]
+        remap = {old: new for new, old in enumerate(keep)}
+        reads = [reads[i] for i in keep]
+        read_names = [f"read{n:05d}" for n in range(len(keep))]
+        read_pos = [read_pos[i] for i in keep]
+        read_maps = [read_maps[i] for i in keep]
+        units = [AlignUnit(read=remap[u.read], q_off=u.q_off, q_len=u.q_len,
+                           rmap=u.rmap) for u in units if u.read not in dead]
+        chimeric = [remap[i] for i in chimeric if i not in dead]
 
     data = SimData(
         genome=genome, contig_names=contig_names, contigs=contigs,
         contig_pos=contig_pos, read_names=read_names, reads=reads,
-        read_pos=read_pos, read_maps=read_maps,
+        read_pos=read_pos, read_maps=read_maps, units=units,
+        chimeric=chimeric, dropouts=dropouts,
     )
     data.paf_read_contig = _paf_read_vs_contigs(data, cfg, rng)
     data.paf_read_read = _paf_read_vs_read(data, cfg, rng)
@@ -305,8 +399,9 @@ def _paf_row(qn, ql, qs, qe, strand, tn, tl, ts, te, nm, bl) -> str:
 
 def _paf_read_vs_contigs(d: SimData, cfg: SimConfig, rng: np.random.Generator) -> list[str]:
     rows = []
-    for ri, (ra, rb, rs) in enumerate(d.read_pos):
-        m = d.read_maps[ri]
+    for u in d.units:
+        m = u.rmap
+        ra, rb, rs = m.a, m.b, m.strand
         for ci, (ca, cb) in enumerate(d.contig_pos):
             x, y = max(ra, ca), min(rb, cb)
             if y - x < cfg.min_sim_overlap:
@@ -318,31 +413,37 @@ def _paf_read_vs_contigs(d: SimData, cfg: SimConfig, rng: np.random.Generator) -
             bl = (y - x) + m.count_ins(x, y)
             qs, qe = m.local(x, y)
             rows.append(_paf_row(
-                d.read_names[ri], m.length, qs, qe, rs,
+                d.read_names[u.read], u.q_len, u.q_off + qs, u.q_off + qe, rs,
                 d.contig_names[ci], cb - ca, x - ca, y - ca, nm, bl,
             ))
     return rows
 
 
 def _paf_read_vs_read(d: SimData, cfg: SimConfig, rng: np.random.Generator) -> list[str]:
-    """All true read pairs overlapping by >= min_sim_overlap, via a sorted sweep."""
-    n = len(d.reads)
-    order = sorted(range(n), key=lambda i: d.read_pos[i][0])
+    """All true unit pairs overlapping by >= min_sim_overlap, via a sorted sweep.
+    Units of the SAME chimeric read never pair with each other (an aligner does
+    not report a read against itself)."""
+    n = len(d.units)
+    order = sorted(range(n), key=lambda i: d.units[i].rmap.a)
     rows = []
     active: list[int] = []
     for i in order:
-        ra, rb, rs = d.read_pos[i]
-        mi = d.read_maps[i]
-        # sweep prune (reads sorted by start; j stays active while it can still
-        # overlap any later read by >= min_sim_overlap)
-        active = [j for j in active if d.read_pos[j][1] >= ra + cfg.min_sim_overlap]
+        ui = d.units[i]
+        mi = ui.rmap
+        ra, rb, rs = mi.a, mi.b, mi.strand
+        # sweep prune (units sorted by start; j stays active while it can still
+        # overlap any later unit by >= min_sim_overlap)
+        active = [j for j in active
+                  if d.units[j].rmap.b >= ra + cfg.min_sim_overlap]
         for j in active:
-            ja, jb, js = d.read_pos[j]
-            x, y = max(ra, ja), min(rb, jb)
+            uj = d.units[j]
+            if uj.read == ui.read:
+                continue
+            mj = uj.rmap
+            x, y = max(ra, mj.a), min(rb, mj.b)
             if y - x < cfg.min_sim_overlap:
                 continue
             x, y = _jitter(x, y, cfg, rng)
-            mj = d.read_maps[j]
             # a column matches unless EITHER read substituted/deleted it (both
             # substituting to the same base is counted as mismatch — a <0.1%
             # undercount at real rates, consistent in spirit with an aligner's
@@ -355,8 +456,10 @@ def _paf_read_vs_read(d: SimData, cfg: SimConfig, rng: np.random.Generator) -> l
             qs, qe = mi.local(x, y)
             ts, te = mj.local(x, y)
             rows.append(_paf_row(
-                d.read_names[i], mi.length, qs, qe, rs ^ js,
-                d.read_names[j], mj.length, ts, te, nm, bl,
+                d.read_names[ui.read], ui.q_len, ui.q_off + qs, ui.q_off + qe,
+                rs ^ mj.strand,
+                d.read_names[uj.read], uj.q_len, uj.q_off + ts, uj.q_off + te,
+                nm, bl,
             ))
         active.append(i)
     return rows
@@ -376,32 +479,35 @@ def _paf_cross_copy(d: SimData, cfg: SimConfig, rng: np.random.Generator,
     repeat-LOCAL coordinates first)."""
     L = cfg.repeat_len
     touch: list[list[tuple[int, int, int]]] = [[] for _ in repeat_starts]
-    for ri, (ra, rb, _) in enumerate(d.read_pos):
+    for ui, u in enumerate(d.units):
         for ci, s in enumerate(repeat_starts):
-            x, y = max(ra, s), min(rb, s + L)
+            x, y = max(u.rmap.a, s), min(u.rmap.b, s + L)
             if y - x >= cfg.min_sim_overlap:
-                touch[ci].append((ri, x - s, y - s))   # repeat-local interval
+                touch[ci].append((ui, x - s, y - s))   # repeat-local interval
     pairs: list[tuple[int, int, int, int, int, int]] = []
     for i in range(len(repeat_starts)):
         for j in range(i + 1, len(repeat_starts)):
-            for ri, lo1, hi1 in touch[i]:
-                for rj, lo2, hi2 in touch[j]:
+            for ui, lo1, hi1 in touch[i]:
+                for uj, lo2, hi2 in touch[j]:
+                    if d.units[ui].read == d.units[uj].read:
+                        continue
                     x, y = max(lo1, lo2), min(hi1, hi2)
                     if y - x >= cfg.min_sim_overlap:
-                        pairs.append((ri, i, rj, j, x, y))
+                        pairs.append((ui, i, uj, j, x, y))
     if cfg.max_cross_rows and len(pairs) > cfg.max_cross_rows:
         keep = rng.choice(len(pairs), cfg.max_cross_rows, replace=False)
         keep.sort()
         pairs = [pairs[t] for t in keep]
     rows = []
-    for ri, ci, rj, cj, x, y in pairs:
+    for ui, ci, uj, cj, x, y in pairs:
         if cfg.end_jitter > 0:
             t1 = int(rng.integers(0, cfg.end_jitter + 1))
             t2 = int(rng.integers(0, cfg.end_jitter + 1))
             if (y - t2) - (x + t1) >= max(cfg.min_sim_overlap // 2, 32):
                 x, y = x + t1, y - t2
         si, sj = repeat_starts[ci], repeat_starts[cj]
-        mi, mj = d.read_maps[ri], d.read_maps[rj]
+        a, b = d.units[ui], d.units[uj]
+        mi, mj = a.rmap, b.rmap
         # mismatch columns: copy-divergence sites where the two copies differ
         # (union of their mutation sites in the shared repeat-local interval),
         # plus each read's own errors (disjoint genome ranges, counts add)
@@ -414,8 +520,9 @@ def _paf_cross_copy(d: SimData, cfg: SimConfig, rng: np.random.Generator,
         qs, qe = mi.local(si + x, si + y)
         ts, te = mj.local(sj + x, sj + y)
         rows.append(_paf_row(
-            d.read_names[ri], mi.length, qs, qe, mi.strand ^ mj.strand,
-            d.read_names[rj], mj.length, ts, te, nm, bl,
+            d.read_names[a.read], a.q_len, a.q_off + qs, a.q_off + qe,
+            mi.strand ^ mj.strand,
+            d.read_names[b.read], b.q_len, b.q_off + ts, b.q_off + te, nm, bl,
         ))
     return rows
 

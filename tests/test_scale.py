@@ -183,3 +183,45 @@ def test_repeats_longer_than_reads(tmp_path):
     sc = res.scaffolds[0].seq
     assert len(sc) == len(sim.genome)
     assert float(np.mean(sc == sim.genome)) > 0.99
+
+
+def test_chimera_dropout_no_misjoin(tmp_path):
+    """Misjoin bait (VERDICT r2 item 5): chimeric reads produce PAF rows joining
+    DISJOINT loci, and a coverage dropout over one repeat junction removes the
+    true bridge there — exactly the situation where a naive scaffolder stitches
+    a chimera into a misjoin. The pipeline must (a) leave the dropout gap
+    honestly unbridged, (b) accept only genome-adjacent bridges. The naive
+    control (min_group_support=1) on the same data DOES accept a chimeric
+    bridge, proving the bait is real and the support rule is what rejects it."""
+    import dataclasses
+
+    # dropout (33800, 43800) covers repeat copy 0 (starts 36800) + both flanks:
+    # no read spans the ctg0-ctg1 junction. seed=3 pinned: its random chimeras
+    # connect the free ends 0L/4R strongly enough to win a support-1 consensus.
+    sim = simulate(SimConfig(
+        genome_len=200_000, repeat_len=4_000, n_repeat_copies=4,
+        read_len_mean=3_000, read_len_sd=500, coverage=15.0,
+        error_rate=0.02, chimera_rate=0.2,
+        dropout_len=10_000, dropout_starts=(33_800,), seed=3))
+    assert sim.chimeric
+    d = str(tmp_path / "data")
+    write_dataset(sim, d)
+    args = (f"{d}/contigs.fa", f"{d}/reads.fa", f"{d}/read2contig.paf",
+            f"{d}/read2read.paf")
+    cfg = ScaffoldConfig(mc_walks_per_end=64, max_steps=16)
+
+    res = run_pipeline(*args, str(tmp_path / "s.fa"), cfg)
+    n_anchors = 5
+    adjacent = {(2 * c, 2 * c + 2) for c in range(n_anchors - 1)}
+    pairs = {b.pair for b in res.accepted}
+    assert pairs <= adjacent, f"misjoin accepted: {sorted(pairs - adjacent)}"
+    assert (0, 2) not in pairs, "the dropout gap (ctg0-ctg1) cannot have a real bridge"
+    assert len(pairs) == 3, pairs   # every other gap bridged
+    assert len(res.scaffolds) == 2  # the dropout splits the genome in two
+
+    # naive control: support threshold 1 accepts a chimeric (non-adjacent) bridge
+    naive = run_pipeline(*args, str(tmp_path / "naive.fa"),
+                         dataclasses.replace(cfg, min_group_support=1))
+    naive_pairs = {b.pair for b in naive.accepted}
+    assert naive_pairs - adjacent, \
+        "bait did not fire: naive consensus accepted no chimeric bridge"

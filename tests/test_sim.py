@@ -145,3 +145,77 @@ def test_substitution_only_matches_round1_stream():
     d1, d2 = simulate(cfg), simulate(cfg)
     assert all(np.array_equal(a, b) for a, b in zip(d1.reads, d2.reads))
     assert d1.paf_read_read == d2.paf_read_read
+
+
+CHIM_CFG = SimConfig(
+    genome_len=200_000, repeat_len=4_000, n_repeat_copies=4,
+    read_len_mean=3_000, read_len_sd=500, coverage=12.0,
+    error_rate=0.02, ins_rate=0.01, del_rate=0.01, end_jitter=20,
+    chimera_rate=0.1, seed=9)
+
+
+def test_chimeric_reads_split_paf_rows():
+    """A chimeric read maps as TWO disjoint query intervals (same name, same
+    full length) to unrelated loci — and every row, including the offset /
+    reverse-strand second segment, stays alignment-consistent (sim.py AlignUnit
+    coordinate math vs the actual concatenated sequence)."""
+    d = simulate(CHIM_CFG)
+    assert d.chimeric
+    seqs = {n: s for n, s in zip(d.contig_names, d.contigs)}
+    seqs.update({n: s for n, s in zip(d.read_names, d.reads)})
+    n_checked = 0
+    for ri in d.chimeric[:20]:
+        name = d.read_names[ri]
+        rows = [r.split("\t") for r in d.paf_read_contig
+                if r.split("\t", 1)[0] == name]
+        if len(rows) < 2:
+            continue   # a segment may fall entirely inside a repeat (no contig row)
+        # disjoint query intervals
+        ivs = sorted((int(c[2]), int(c[3])) for c in rows)
+        for (a1, b1), (a2, b2) in zip(ivs, ivs[1:]):
+            assert b1 <= a2 or (a1, b1) == (a2, b2), (name, ivs)
+        # both segments' coordinates are real alignments of the concatenated read
+        for cols in rows:
+            _check_row_alignment(cols, seqs)
+            n_checked += 1
+    assert n_checked >= 4
+    # read-read rows involving a chimera are alignment-consistent too
+    chim_names = {d.read_names[i] for i in d.chimeric}
+    rr = [r.split("\t") for r in d.paf_read_read
+          if r.split("\t", 1)[0] in chim_names][:30]
+    assert rr
+    for cols in rr:
+        _check_row_alignment(cols, seqs)
+
+
+def test_chimera_off_stream_identical():
+    """chimera_rate=0 / dropouts off must reproduce the round-2 streams byte-
+    for-byte (the unit refactor may not disturb golden datasets)."""
+    base = SimConfig(genome_len=30_000, repeat_len=1_500, end_jitter=10,
+                     ins_rate=0.01, del_rate=0.01, seed=6)
+    d1 = simulate(base)
+    d2 = simulate(SimConfig(**{**base.__dict__}))
+    assert d1.paf_read_contig == d2.paf_read_contig
+    assert d1.paf_read_read == d2.paf_read_read
+
+
+def test_coverage_dropout():
+    d = simulate(SimConfig(
+        genome_len=120_000, repeat_len=3_000, n_repeat_copies=2,
+        read_len_mean=2_500, coverage=15.0, error_rate=0.02,
+        n_dropouts=1, dropout_len=9_000, seed=4))
+    assert len(d.dropouts) == 1
+    s, e = d.dropouts[0]
+    cov = np.zeros(120_000, np.int32)
+    for (a, b, _st) in d.read_pos:
+        cov[a:b] += 1
+    assert cov[s:e].max() == 0, "reads survived inside the dropout"
+    assert cov[: max(s - 5_000, 1)].mean() > 5, "coverage elsewhere collapsed"
+
+
+def test_dropout_explicit_placement():
+    d = simulate(SimConfig(
+        genome_len=120_000, repeat_len=3_000, n_repeat_copies=2,
+        read_len_mean=2_500, coverage=10.0, error_rate=0.02,
+        dropout_len=5_000, dropout_starts=(40_000,), seed=4))
+    assert d.dropouts == [(40_000, 45_000)]
