@@ -92,7 +92,11 @@ def build_graph(contigs: SequenceSet, reads: SequenceSet, paf: PafRecords,
         # amortize. "on" forces the device path at any size.
         want = cfg.device_scoring == "on" or (on_tpu and len(edges) >= 32_000_000)
         if want:
-            with metrics.stage("score_edges_device"):
+            from telomeri_tpu.utils.watchdog import DispatchWatch
+
+            key = f"score_edges:{_pow2_bucket(len(edges))}"
+            with metrics.stage("score_edges_device"), \
+                    DispatchWatch(metrics).watch(key):
                 edges = rescore_edges_device(
                     edges, backend="pallas" if on_tpu else "jnp")
             metrics.set("scoring_backend", "pallas" if on_tpu else "jnp")
@@ -104,6 +108,15 @@ def build_graph(contigs: SequenceSet, reads: SequenceSet, paf: PafRecords,
         graph = tensorize(edges, seq_len, len(contigs), cfg)
     metrics.set("graph", graph.stats)
     return edges, graph
+
+
+def _pow2_bucket(n: int) -> int:
+    """Dispatch-history key bucket: sizes within a power of two share history
+    (exact sizes would fragment the EWMA; cost scales ~linearly within 2x)."""
+    b = 1
+    while b < n:
+        b *= 2
+    return b
 
 
 def _resolve_placement(cfg, graph, mesh, metrics):
@@ -195,19 +208,28 @@ def run_pipeline(
             plan = plan_walks(graph, cfg, n_shards=mesh.size if mesh is not None else 1)
         metrics.set("n_walks", plan.n_active)
 
+        from telomeri_tpu.utils.watchdog import DispatchWatch
+
+        walk_key = (f"run_walks:W{_pow2_bucket(max(len(plan), 1))}"
+                    f":S{cfg.max_steps}")
         if mesh is not None:
+            import jax
+
             from telomeri_tpu.dist.mesh import run_walks_distributed
 
             walk_cfg = _resolve_placement(cfg, graph, mesh, metrics)
-            with metrics.stage("run_walks"), maybe_trace(trace_dir):
+            with metrics.stage("run_walks"), maybe_trace(trace_dir), \
+                    DispatchWatch(metrics).watch(f"{walk_key}:D{mesh.size}"):
                 # records stay device-resident and walk-sharded: in a multi-process
                 # run they are not host-addressable; the stitch stage fetches only
                 # the representative rows (dist.fetch_walk_rows)
                 walks, cons = run_walks_distributed(graph, plan, walk_cfg, mesh)
+                jax.block_until_ready(cons)  # the dispatch watch must see real time
             with metrics.stage("consensus"):
                 bridges = compress(cons)
         else:
-            with metrics.stage("run_walks"), maybe_trace(trace_dir):
+            with metrics.stage("run_walks"), maybe_trace(trace_dir), \
+                    DispatchWatch(metrics).watch(walk_key):
                 walks = run_walks_host(graph, plan, cfg)
             with metrics.stage("consensus"):
                 summary = summarize(walks, plan.uid)
