@@ -101,6 +101,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "window around every stitch junction")
     v.add_argument("--junction-window", type=int, default=2000,
                    help="half-window around each junction (bp)")
+    v.add_argument("--sample", type=int, default=1,
+                   help="align every Nth segment, estimate the rest with error "
+                        "bars (junction windows + misjoin detection stay exact)")
+    v.add_argument("--jobs", type=int, default=0,
+                   help="worker processes for segment alignment "
+                        "(0 = all CPU cores; results identical at any count)")
 
     g = sub.add_parser("simulate", help="generate a synthetic test dataset")
     g.add_argument("--out", required=True, help="output directory")
@@ -164,7 +170,8 @@ def main(argv: list[str] | None = None) -> int:
             read_fasta(args.genome, lazy="auto"),
             k=args.seed_kmer, stride=args.stride,
             junctions=read_agp_junctions(args.agp) if args.agp else None,
-            junction_window=args.junction_window)
+            junction_window=args.junction_window,
+            sample=args.sample, n_jobs=args.jobs or (os.cpu_count() or 1))
         print(json.dumps(report, indent=2, sort_keys=True))
         return 0
 

@@ -32,9 +32,16 @@ BASES = np.frombuffer(b"ACGT", dtype=np.uint8)
 _ONE = np.uint64(1)
 
 
+# byte -> 2-bit code lookup (A,C,G,T -> 0..3; other bytes land where the old
+# clip(searchsorted) formula put them — byte-compatible, but ~30x faster than
+# searchsorted+clip per call, which profiled at 20% of validator time)
+_CODE_LUT = np.clip(
+    np.searchsorted(BASES, np.arange(256, dtype=np.uint8)), 0, 3).astype(np.int64)
+
+
 def _codes(seq: np.ndarray) -> np.ndarray:
-    """uint8 bases -> 2-bit codes (A,C,G,T -> 0..3; other bytes clip arbitrarily)."""
-    return np.clip(np.searchsorted(BASES, seq), 0, 3).astype(np.int64)
+    """uint8 bases -> 2-bit codes (A,C,G,T -> 0..3)."""
+    return _CODE_LUT[seq]
 
 
 def pack_kmers(seq: np.ndarray, k: int) -> np.ndarray:
@@ -82,7 +89,10 @@ class KmerIndex:
 
     @staticmethod
     def from_packed(km: np.ndarray, k: int, keep_raw: bool = False) -> "KmerIndex":
-        order = np.argsort(km, kind="stable")
+        # unstable sort is fine: lookup_unique only ever reads positions of
+        # k-mers that occur EXACTLY once, where order is irrelevant (~1.7x
+        # faster at genome scale than kind="stable")
+        order = np.argsort(km)
         return KmerIndex(k=k, sorted_km=km[order],
                          sorted_pos=order.astype(np.int64),
                          raw=km if keep_raw else None)
@@ -148,7 +158,7 @@ def _myers_batch(qmat: np.ndarray, qlens: np.ndarray,
     for c in range(4):
         peq[:, c] = ((qmat == BASES[c]) << lanes[: qmat.shape[1]]).sum(
             axis=1, dtype=np.uint64)
-    tcode = np.clip(np.searchsorted(BASES, tmat), 0, 3)
+    tcode = _CODE_LUT[tmat]
     rows = np.arange(n)
 
     pv = np.full(n, ~np.uint64(0))
@@ -232,6 +242,8 @@ class ChainAlignment:
     seg_qhi: np.ndarray
     seg_cost: np.ndarray      # per-segment edit cost
     seg_cols: np.ndarray      # per-segment columns
+    sampled_fraction: float = 1.0   # fraction of alignable columns aligned
+    identity_stderr: float = 0.0    # ~1 sd of identity when sampled (<1.0)
 
     @property
     def identity(self) -> float:
@@ -299,15 +311,89 @@ def _split_segment(q: np.ndarray, g: np.ndarray, qlo: int, qhi: int,
             out.append((a, b, c, d))
 
 
+def _eval_segments(q: np.ndarray, g: np.ndarray,
+                   segs: list[tuple[int, int, int, int]]) -> np.ndarray:
+    """Exact edit cost of each ALIGNABLE segment (callers filter out the
+    _GIVEUP class). Small segments go through the lockstep uint64 batch;
+    the rest through the scalar Myers loop."""
+    costs = np.zeros(len(segs), np.int64)
+    small_q, small_t, small_ix = [], [], []
+    for i, (a, b, c, d) in enumerate(segs):
+        qlen, glen = b - a, d - c
+        if qlen <= _SMALL_Q and glen <= _SMALL_T:
+            small_ix.append(i)
+            small_q.append(q[a:b])
+            small_t.append(g[c:d])
+        else:
+            costs[i] = myers_pair(q[a:b], g[c:d])
+    if small_ix:
+        n = len(small_ix)
+        qmat = np.full((n, _SMALL_Q), 0xFF, np.uint8)
+        tmax = max(len(t) for t in small_t)
+        tmat = np.full((n, max(tmax, 1)), 0xFF, np.uint8)
+        qlens = np.zeros(n, np.int64)
+        tlens = np.zeros(n, np.int64)
+        for i, (qs, ts) in enumerate(zip(small_q, small_t)):
+            qmat[i, : len(qs)] = qs
+            tmat[i, : len(ts)] = ts
+            qlens[i], tlens[i] = len(qs), len(ts)
+        d = _myers_batch(qmat, qlens, tmat, tlens)
+        costs[np.array(small_ix)] = d
+    return costs
+
+
+_PAR: dict = {}   # fork-shared inputs for _par_chunk (copy-on-write, zero pickling)
+
+
+def _par_chunk(idx: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    return idx, _eval_segments(
+        _PAR["q"], _PAR["g"], [_PAR["segs"][i] for i in idx])
+
+
+def _eval_segments_parallel(q, g, segs, n_jobs: int) -> np.ndarray:
+    """Fork-based parallel _eval_segments: workers read query/genome through
+    copy-on-write memory (nothing big is pickled). Striped index assignment
+    balances the few expensive large segments across workers. Results are
+    exact ints — identical to the serial path in any job count."""
+    import multiprocessing as mp
+    from concurrent.futures import ProcessPoolExecutor
+
+    n = len(segs)
+    if n_jobs <= 1 or n < 64:
+        return _eval_segments(q, g, segs)
+    stripes = [np.arange(j, n, 4 * n_jobs) for j in range(4 * n_jobs)]
+    _PAR.update(q=q, g=g, segs=segs)
+    try:
+        out = np.zeros(n, np.int64)
+        with ProcessPoolExecutor(
+                n_jobs, mp_context=mp.get_context("fork")) as ex:
+            for idx, costs in ex.map(_par_chunk, stripes):
+                out[idx] = costs
+    finally:
+        _PAR.clear()
+    return out
+
+
 def chain_align(query: np.ndarray, genome: np.ndarray, gidx: KmerIndex,
                 stride: int = 32,
-                qkm: np.ndarray | None = None) -> ChainAlignment | None:
+                qkm: np.ndarray | None = None, sample: int = 1,
+                must_cover: list[tuple[int, int]] | None = None,
+                n_jobs: int = 1) -> ChainAlignment | None:
     """Align query to genome via unique-k-mer chaining + per-gap edit distance.
 
     Returns None when no unique anchor chain exists (unplaceable query).
     gidx must be KmerIndex.build(genome, k) — pass keep_raw=True so repeat-gap
     re-anchoring slices pre-packed k-mers instead of re-packing (perf only).
-    stride samples query k-mers; qkm optionally passes pack_kmers(query, k)."""
+    stride samples query k-mers; qkm optionally passes pack_kmers(query, k).
+
+    sample > 1 aligns every sample-th alignable segment (plus every segment
+    whose query span intersects a must_cover window — junction checks stay
+    EXACT) and estimates the rest from the sampled per-column edit rate;
+    ChainAlignment.identity_stderr reports ~1 sd of the estimate. The anchor
+    CHAIN is always complete, so misjoins (giant genome gaps -> _GIVEUP
+    segments, costed directly) are never sampled away.
+    n_jobs > 1 parallelizes segment evaluation over processes (exact ints:
+    output is identical for any job count)."""
     k = gidx.k
     if qkm is None:
         qkm = pack_kmers(query, k)
@@ -333,37 +419,57 @@ def chain_align(query: np.ndarray, genome: np.ndarray, gidx: KmerIndex,
         else:
             segs.append((a, b, c, d))
 
-    # classify + align
-    small_q, small_t, small_ix = [], [], []
+    # classify: _GIVEUP segments are costed by formula (misjoin signal — never
+    # sampled away); the alignable rest is aligned exactly or rate-estimated
     costs = np.zeros(len(segs) + 2, np.int64)
     cols = np.zeros(len(segs) + 2, np.int64)
     qlos = np.zeros(len(segs) + 2, np.int64)
     qhis = np.zeros(len(segs) + 2, np.int64)
+    align_ix: list[int] = []
     for i, (a, b, c, d) in enumerate(segs):
         qlen, glen = b - a, d - c
         qlos[i], qhis[i] = a, b
         cols[i] = max(qlen, glen)
         if max(qlen, glen) > _GIVEUP:
             costs[i] = max(qlen, glen) - min(qlen, glen) // 2  # unalignable: punitive
-        elif qlen <= _SMALL_Q and glen <= _SMALL_T:
-            small_ix.append(i)
-            small_q.append(query[a:b])
-            small_t.append(genome[c:d])
         else:
-            costs[i] = myers_pair(query[a:b], genome[c:d])
-    if small_ix:
-        n = len(small_ix)
-        qmat = np.full((n, _SMALL_Q), 0xFF, np.uint8)
-        tmax = max(len(t) for t in small_t)
-        tmat = np.full((n, max(tmax, 1)), 0xFF, np.uint8)
-        qlens = np.zeros(n, np.int64)
-        tlens = np.zeros(n, np.int64)
-        for i, (qs, ts) in enumerate(zip(small_q, small_t)):
-            qmat[i, : len(qs)] = qs
-            tmat[i, : len(ts)] = ts
-            qlens[i], tlens[i] = len(qs), len(ts)
-        d = _myers_batch(qmat, qlens, tmat, tlens)
-        costs[np.array(small_ix)] = d
+            align_ix.append(i)
+
+    sampled_fraction, identity_stderr = 1.0, 0.0
+    if sample <= 1 or len(align_ix) < 8:
+        todo = align_ix
+    else:
+        chosen = set(align_ix[::sample])
+        for (wlo, whi) in must_cover or ():
+            for i in align_ix:
+                if qlos[i] < whi and wlo < qhis[i]:
+                    chosen.add(i)
+        todo = sorted(chosen)
+    if todo:
+        ev = _eval_segments_parallel(
+            query, genome, [segs[i] for i in todo], n_jobs)
+        costs[np.array(todo)] = ev
+    if todo and len(todo) < len(align_ix):
+        # estimate the unaligned remainder from the sampled per-column rate
+        rest = np.array(sorted(set(align_ix) - set(todo)))
+        w_ev = cols[np.array(todo)].astype(np.float64)
+        c_ev = costs[np.array(todo)].astype(np.float64)
+        W_ev = float(w_ev.sum())
+        rate = float(c_ev.sum()) / W_ev if W_ev else 0.0
+        # error-diffusion rounding: naive per-segment rint would zero the
+        # expectation on every small segment (rate*32 ~ 0.4 -> 0) and halve
+        # the estimated total; cumulative rounding preserves it exactly
+        cum = np.rint(np.cumsum(rate * cols[rest].astype(np.float64)))
+        costs[rest] = np.diff(np.concatenate([[0.0], cum])).astype(np.int64)
+        # ~1 sd: unevaluated segments draw a per-column rate with the sampled
+        # weighted variance, independently per segment (approximate — segments
+        # are near-iid at anchor-stride scale)
+        r_i = np.divide(c_ev, w_ev, out=np.zeros_like(c_ev), where=w_ev > 0)
+        s2 = float(np.sum(w_ev * (r_i - rate) ** 2) / W_ev) if W_ev else 0.0
+        var_est = s2 * float(np.sum(cols[rest].astype(np.float64) ** 2))
+        total_cols = float(cols.sum()) if cols.sum() else 1.0
+        identity_stderr = float(np.sqrt(var_est)) / total_cols
+        sampled_fraction = W_ev / max(W_ev + float(cols[rest].sum()), 1.0)
 
     # head: query[0:q0] vs genome ending at g0, free start (clamped at genome 0)
     nseg = len(segs)
@@ -391,4 +497,5 @@ def chain_align(query: np.ndarray, genome: np.ndarray, gidx: KmerIndex,
         n_anchors=len(qp), q_anchor=qp, g_anchor=gp,
         edits=int(costs.sum()), columns=int(cols.sum()),
         seg_qlo=qlos, seg_qhi=qhis, seg_cost=costs, seg_cols=cols,
+        sampled_fraction=sampled_fraction, identity_stderr=identity_stderr,
     )

@@ -133,3 +133,59 @@ def test_junctions_from_segments_and_agp(tmp_path):
                    "s1\t1001\t1500\t2\tW\tread5\t1\t500\t-\n"
                    "s2\t1\t700\t1\tW\tctg001\t1\t700\t+\n")
     assert read_agp_junctions(str(agp)) == {"s1": [1000]}
+
+
+def test_sampled_validation_accuracy_and_exact_junctions():
+    """--sample mode: whole-scaffold identity becomes a rate estimate with
+    error bars, but junction windows (the misjoin signal) stay EXACT."""
+    g = _rand_seq(200_000, 21)
+    s = _indel_mutate(g, 22, sub=0.01, ins=0.003, dele=0.003)
+    scaffolds = SequenceSet(["s"], [s])
+    genomes = SequenceSet(["g"], [g])
+    full = validate_assembly(scaffolds, genomes, junctions={"s": [100_000]})
+    samp = validate_assembly(scaffolds, genomes, junctions={"s": [100_000]},
+                             sample=8)
+    assert samp["sampled"] is True
+    pl = samp["placements"][0]
+    assert 0 < pl["sampled_fraction"] < 0.6
+    assert pl["identity_stderr"] > 0
+    # estimate lands within a small absolute band of the exact identity
+    assert abs(samp["mean_identity"] - full["mean_identity"]) < 0.002
+    # junction identity: byte-exact between modes (window segments forced exact)
+    jf = full["placements"][0]["junctions"][0]["identity"]
+    js = pl["junctions"][0]["identity"]
+    assert jf == js
+
+
+def test_sampled_validation_still_flags_misjoin():
+    """Sampling must never hide a misjoin: the giant-gap (giveup) segments are
+    costed directly and junction windows are exact."""
+    g = _rand_seq(120_000, 23)
+    s = np.concatenate([g[0:40_000], g[90_000:110_000]])  # skips 50 kb
+    rep = validate_assembly(SequenceSet(["s"], [s]), SequenceSet(["g"], [g]),
+                            junctions={"s": [40_000]}, sample=8)
+    assert rep["worst_junction_identity"] < 0.6
+    assert rep["worst_identity"] < 0.9
+
+
+def test_parallel_validation_identical():
+    """n_jobs > 1 must be bit-identical to serial (exact integer costs)."""
+    g = _rand_seq(150_000, 24)
+    s = _indel_mutate(g, 25, sub=0.02, ins=0.005, dele=0.005)
+    scaffolds = SequenceSet(["s"], [s])
+    genomes = SequenceSet(["g"], [g])
+    r1 = validate_assembly(scaffolds, genomes)
+    r2 = validate_assembly(scaffolds, genomes, n_jobs=2)
+    assert r1 == r2
+
+
+def test_reverse_strand_junction_window():
+    """Junction coords are forward-scaffold; a reverse-strand placement must
+    mirror the window (round-3 fix: the window was read from the wrong end)."""
+    g = _rand_seq(60_000, 26)
+    s_fwd = np.concatenate([g[0:30_000], g[45_000:55_000]])  # misjoin at 30k
+    s = reverse_complement(s_fwd)
+    rep = validate_assembly(SequenceSet(["s"], [s]), SequenceSet(["g"], [g]),
+                            junctions={"s": [len(s) - 30_000]})
+    assert rep["placements"][0]["strand"] == -1
+    assert rep["worst_junction_identity"] < 0.6
