@@ -125,9 +125,12 @@ def main(argv: list[str] | None = None) -> int:
     setup_logging(args.verbose)
 
     # TELOMERI_PLATFORM=cpu forces the JAX backend (the container's sitecustomize
-    # overrides JAX_PLATFORMS, so this must happen via config before first use)
+    # overrides JAX_PLATFORMS, so this must happen via config before first use).
+    # Only for commands that touch the device: validate/stats/simulate stay
+    # jax-free so the validator's fork-based parallelism is safe (align.py
+    # _fork_unsafe).
     platform = os.environ.get("TELOMERI_PLATFORM")
-    if platform:
+    if platform and args.cmd == "scaffold":
         import jax
 
         jax.config.update("jax_platforms", platform)

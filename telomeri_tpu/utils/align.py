@@ -350,6 +350,26 @@ def _par_chunk(idx: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         _PAR["q"], _PAR["g"], [_PAR["segs"][i] for i in idx])
 
 
+def _fork_unsafe() -> bool:
+    """True when a JAX backend is live in this process: its worker threads make
+    fork() deadlock-prone (CPython emits the same warning). The CLI validate
+    path never imports jax, so parallel validation normally proceeds;
+    library callers inside a jax process silently fall back to serial.
+    TELOMERI_FORCE_FORK=1 overrides (tests)."""
+    import os
+    import sys
+
+    if os.environ.get("TELOMERI_FORCE_FORK"):
+        return False
+    j = sys.modules.get("jax")
+    if j is None:
+        return False
+    try:
+        return bool(j._src.xla_bridge._backends)  # noqa: SLF001
+    except AttributeError:   # private layout changed: assume unsafe
+        return True
+
+
 def _eval_segments_parallel(q, g, segs, n_jobs: int) -> np.ndarray:
     """Fork-based parallel _eval_segments: workers read query/genome through
     copy-on-write memory (nothing big is pickled). Striped index assignment
@@ -359,7 +379,7 @@ def _eval_segments_parallel(q, g, segs, n_jobs: int) -> np.ndarray:
     from concurrent.futures import ProcessPoolExecutor
 
     n = len(segs)
-    if n_jobs <= 1 or n < 64:
+    if n_jobs <= 1 or n < 64 or _fork_unsafe():
         return _eval_segments(q, g, segs)
     stripes = [np.arange(j, n, 4 * n_jobs) for j in range(4 * n_jobs)]
     _PAR.update(q=q, g=g, segs=segs)

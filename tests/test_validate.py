@@ -168,8 +168,11 @@ def test_sampled_validation_still_flags_misjoin():
     assert rep["worst_identity"] < 0.9
 
 
-def test_parallel_validation_identical():
-    """n_jobs > 1 must be bit-identical to serial (exact integer costs)."""
+def test_parallel_validation_identical(monkeypatch):
+    """n_jobs > 1 must be bit-identical to serial (exact integer costs).
+    TELOMERI_FORCE_FORK exercises the real pool even under pytest's jax
+    process (align.py _fork_unsafe would otherwise fall back to serial)."""
+    monkeypatch.setenv("TELOMERI_FORCE_FORK", "1")
     g = _rand_seq(150_000, 24)
     s = _indel_mutate(g, 25, sub=0.02, ins=0.005, dele=0.005)
     scaffolds = SequenceSet(["s"], [s])
