@@ -33,6 +33,11 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# host-side analysis: never touch the (possibly busy) TPU
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 
 def canonical_pair(a: int, b: int) -> tuple[int, int]:
     """Same canonicalization as consensus/grouping.py rule 2."""
@@ -105,6 +110,12 @@ def diagnose(rundir: str, out=sys.stdout):
         diag["n_connecting"] = len(conn)
         if diag["n_walks"] == 0:
             diag["verdict"] = "no-walks"
+            # out-degree of the two flanking oriented ends: 0/0 = coverage hole
+            # (no read extends past either flank — correct non-bridge); nonzero
+            # degrees with no walks = planner issue
+            deg = np.asarray(graph.deg)
+            diag["flank_out_degrees"] = {
+                str(eR): int(deg[2 * c]), str(eL): int(deg[2 * (c + 1) + 1])}
         elif not conn:
             both = np.concatenate([rowsL, rowsR])
             n_trunc = int(((steps[both] >= cfg.max_steps) & ~succ[both]).sum())
