@@ -90,6 +90,14 @@ class ScaffoldConfig:
     group_window: int = 1000       # path-length gap / bucket width (bp)
     min_group_support: int = 2     # winning group must hold >= this many paths
 
+    # --- rescue rounds (walk/rescue.py) ---
+    # after conflict resolution, re-walk still-free walkable contig ends at
+    # this density; a rescue bridge needs >= min_group_support DISTINCT paths
+    # with NO common cut read (read-diverse evidence — walk counts are
+    # density-inflated and chimera-blind). 0 rounds disables.
+    rescue_rounds: int = 1
+    rescue_walks_per_end: int = 2000
+
     # --- sharding ---
     walk_batch_multiple: int = 8   # pad walk batch to a multiple of this * n_devices
     # "replicated": graph on every chip (fastest; graph must fit one HBM);
@@ -120,7 +128,8 @@ class ScaffoldConfig:
             v = getattr(self, f)
             if not 0.0 <= v <= 10.0:
                 raise ValueError(f"{f}={v} out of range")
-        for f in ("min_overlap", "max_overhang", "mc_walks_per_end"):
+        for f in ("min_overlap", "max_overhang", "mc_walks_per_end",
+                  "rescue_rounds", "rescue_walks_per_end"):
             if getattr(self, f) < 0:
                 raise ValueError(f"{f} must be >= 0")
         # structurally positive: zero breaks padding/bucketing/argmax downstream

@@ -271,9 +271,32 @@ def run_pipeline(
     metrics.set("n_bridges_accepted", len(accepted))
     log.info("bridges: %d candidates, %d accepted", len(bridges), len(accepted))
 
+    # rescue rounds (walk/rescue.py): dense re-walks of still-free walkable
+    # ends, accepted only on read-diverse evidence; can only ADD bridges
+    rescue_paths: dict = {}
+    if cfg.rescue_rounds > 0:   # also on --walks resume: resume must ≡ direct
+        from telomeri_tpu.utils.watchdog import DispatchWatch
+        from telomeri_tpu.walk.rescue import free_walkable_ends, run_rescue_round
+
+        for ri in range(cfg.rescue_rounds):
+            if not free_walkable_ends(graph, accepted):
+                break
+            key = f"rescue_walks:R{ri}"
+            with metrics.stage(f"rescue_round_{ri}"), \
+                    DispatchWatch(metrics).watch(key):
+                new, paths_ri = run_rescue_round(graph, cfg, accepted, ri)
+            if not new:
+                break
+            accepted = accepted + new
+            rescue_paths.update(paths_ri)
+            log.info("rescue round %d: %d additional bridges accepted", ri,
+                     len(new))
+        metrics.set("n_bridges_rescued", len(rescue_paths))
+
     with metrics.stage("stitch"):
         lut = plan.uid_to_row()
-        rep_uids = [b.rep_uid for b in accepted]
+        # rescue bridges carry their own extracted paths (separate records)
+        rep_uids = [b.rep_uid for b in accepted if b.rep_uid not in rescue_paths]
         # the device gather is only for records that are NOT host-addressable
         # (device-resident + walk-sharded, i.e. the walk stage ran under a mesh
         # this run); host-numpy records — single-device runs and --walks artifact
@@ -297,6 +320,7 @@ def run_pipeline(
                                 virtual_base=graph.virtual_base)
                 for u in rep_uids
             }
+        paths.update(rescue_paths)
         stitcher = Stitcher(contigs, reads, edges)
         scaffolds = emit_scaffolds(accepted, paths, stitcher)
     metrics.set("n_scaffolds", len(scaffolds))

@@ -59,8 +59,14 @@ def make_bridge(row: dict) -> Bridge:
     )
 
 
-def resolve_conflicts(rows: list[dict]) -> list[Bridge]:
-    """Greedy accept per rules 1-4. Input rows are consensus/compress() dicts."""
+def resolve_conflicts(rows: list[dict],
+                      pre_accepted: list[Bridge] | None = None) -> list[Bridge]:
+    """Greedy accept per rules 1-4. Input rows are consensus/compress() dicts.
+
+    pre_accepted seeds the used-end set and scaffold union-find with bridges
+    already accepted by an earlier pass (rescue rounds, walk/rescue.py): the
+    new rows can only claim still-free ends and never flip a prior decision.
+    Returns only the NEWLY accepted bridges."""
     bridges = [make_bridge(r) for r in rows]
     bridges.sort(key=lambda b: (-b.count, -b.rep_score, b.pair))
 
@@ -72,6 +78,11 @@ def resolve_conflicts(rows: list[dict]) -> list[Bridge]:
             parent[x] = parent[parent[x]]
             x = parent[x]
         return x
+
+    for b in pre_accepted or ():
+        used.add(b.end_a)
+        used.add(b.end_b)
+        parent[find(b.end_a.contig)] = find(b.end_b.contig)
 
     accepted = []
     for b in bridges:

@@ -225,3 +225,41 @@ def test_chimera_dropout_no_misjoin(tmp_path):
     naive_pairs = {b.pair for b in naive.accepted}
     assert naive_pairs - adjacent, \
         "bait did not fire: naive consensus accepted no chimeric bridge"
+
+
+def test_rescue_round_bridges_undersampled_gap(tmp_path):
+    """Rescue rounds (walk/rescue.py): at starvation walk density the base
+    consensus misses a multi-read repeat path; the rescue round re-walks the
+    free ends densely and accepts the bridge on READ-DIVERSE evidence
+    (>= min_group_support distinct paths, no cut read) — without flipping any
+    base decision or introducing a misjoin. Mirrors the hg002-sub root cause
+    (BASELINE.md gap table: 3 of 4 missed gaps were samplable at 2000/end)."""
+    import dataclasses
+
+    sim = simulate(SimConfig(
+        genome_len=220_000, repeat_len=12_000, n_repeat_copies=3,
+        read_len_mean=2_200, read_len_sd=300, coverage=14.0,
+        error_rate=0.02, cross_copy_overlaps=True, copy_divergence=0.02,
+        seed=2))
+    d = str(tmp_path / "data")
+    write_dataset(sim, d)
+    args = (f"{d}/contigs.fa", f"{d}/reads.fa", f"{d}/read2contig.paf",
+            f"{d}/read2read.paf")
+    base_cfg = ScaffoldConfig(mc_walks_per_end=3, max_steps=32, rescue_rounds=0)
+    r0 = run_pipeline(*args, str(tmp_path / "o0.fa"), base_cfg)
+    cfg = dataclasses.replace(base_cfg, rescue_rounds=1,
+                              rescue_walks_per_end=800)
+    r1 = run_pipeline(*args, str(tmp_path / "o1.fa"), cfg)
+
+    adjacent = {(2 * c, 2 * c + 2) for c in range(3)}
+    assert len(r0.accepted) == 2          # base density misses one gap
+    assert len(r1.accepted) == 3          # rescue adds exactly the missing one
+    assert r1.metrics.values["n_bridges_rescued"] == 1
+    assert {b.pair for b in r1.accepted} == adjacent   # no misjoin
+    # base decisions unchanged (rescue is subordinate)
+    assert {b.pair for b in r0.accepted} <= {b.pair for b in r1.accepted}
+    assert len(r1.scaffolds) == 1 and len(r0.scaffolds) == 2
+    # deterministic: a rerun writes byte-identical output
+    r2 = run_pipeline(*args, str(tmp_path / "o2.fa"), cfg)
+    assert open(tmp_path / "o1.fa", "rb").read() == \
+        open(tmp_path / "o2.fa", "rb").read()
