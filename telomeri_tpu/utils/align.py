@@ -44,31 +44,45 @@ def _codes(seq: np.ndarray) -> np.ndarray:
     return _CODE_LUT[seq]
 
 
+def _min_dtype(bits: int):
+    if bits <= 8:
+        return np.uint8
+    if bits <= 16:
+        return np.uint16
+    if bits <= 32:
+        return np.uint32
+    return np.int64
+
+
 def pack_kmers(seq: np.ndarray, k: int) -> np.ndarray:
     """All k-mers of seq packed 2 bits/base into int64 (requires 1 <= k <= 31).
 
     Base at offset 0 lands in the HIGHEST bit pair. Built by doubling —
     j-mers combine into 2j-mers — so a genome-scale pack is O(log k) array
     passes instead of O(k) (2.4x at k=24; this is the validator's single
-    largest cost at whole-genome scale)."""
+    largest cost at whole-genome scale). Each doubling level uses the SMALLEST
+    dtype holding its 2*2j bits: the passes are memory-traffic-bound, and
+    all-int64 levels measured ~4x slower on a 300 Mb genome (round 3)."""
     assert 1 <= k <= 31, k
     if len(seq) < k:
         return np.empty(0, np.int64)
     n = len(seq) - k + 1
-    pieces = {1: _codes(seq)}
+    pieces = {1: _CODE_LUT.astype(np.uint8)[seq]}
     j = 1
     while j * 2 <= k:
         a = pieces[j]
-        pieces[j * 2] = (a[: len(a) - j] << (2 * j)) | a[j:]
+        dt = _min_dtype(4 * j)
+        pieces[j * 2] = (a[: len(a) - j].astype(dt) << (2 * j)) | a[j:]
         j *= 2
     acc = None
     pos = 0
     for j in sorted(pieces, reverse=True):
         if k & j:
             seg = pieces[j][pos : pos + n]
-            acc = seg if acc is None else (acc << (2 * j)) | seg
+            acc = (seg.astype(np.int64) if acc is None
+                   else (acc << (2 * j)) | seg)
             pos += j
-    return acc
+    return acc.astype(np.int64)
 
 
 @dataclass

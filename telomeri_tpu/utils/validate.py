@@ -133,10 +133,17 @@ def validate_assembly(scaffolds, genomes, k: int = 24, stride: int = 32,
     identity becomes an estimate, with ~1-sd error bars in the report
     (identity_stderr per placement, max_identity_stderr in the summary).
     n_jobs > 1: process-parallel segment evaluation, bit-identical results."""
+    import time
+
+    from telomeri_tpu.utils.logging import log
+
     gmap = {}
+    t0 = time.perf_counter()
     for i, n in enumerate(genomes.names):
         arr = np.asarray(genomes.seqs[i])
         gmap[n] = (arr, KmerIndex.build(arr, k, keep_raw=True))  # built ONCE per genome
+    log.info("validate: indexed %d reference seq(s), %d bp in %.1fs",
+             len(gmap), int(np.sum(genomes.lengths)), time.perf_counter() - t0)
     placements = []
     worst_junction = None
     max_stderr = 0.0
@@ -162,6 +169,8 @@ def validate_assembly(scaffolds, genomes, k: int = 24, stride: int = 32,
                 "sampled_fraction": round(al.sampled_fraction, 4),
                 "identity_stderr": round(al.identity_stderr, 6)}
             max_stderr = max(max_stderr, al.identity_stderr)
+        log.info("validate: %s (%d bp) -> %s identity %.4f (%.1fs elapsed)",
+                 name, n_q, p.genome, p.identity, time.perf_counter() - t0)
         placements.append(p)
     total = int(np.sum(scaffolds.lengths))
     placed_span = sum(p.span for p in placements)
