@@ -190,6 +190,7 @@ def run_pipeline(
             with metrics.stage("save_graph_artifact"):
                 save_graph(save_graph_path, edges, graph, cfg)
 
+    resolved_placement = cfg.graph_placement
     if walks_artifact:
         with metrics.stage("load_walks_artifact"):
             plan, walks = load_walks(walks_artifact, cfg)
@@ -218,6 +219,7 @@ def run_pipeline(
             from telomeri_tpu.dist.mesh import run_walks_distributed
 
             walk_cfg = _resolve_placement(cfg, graph, mesh, metrics)
+            resolved_placement = walk_cfg.graph_placement
             with metrics.stage("run_walks"), maybe_trace(trace_dir), \
                     DispatchWatch(metrics).watch(f"{walk_key}:D{mesh.size}"):
                 # records stay device-resident and walk-sharded: in a multi-process
@@ -284,7 +286,9 @@ def run_pipeline(
             key = f"rescue_walks:R{ri}"
             with metrics.stage(f"rescue_round_{ri}"), \
                     DispatchWatch(metrics).watch(key):
-                new, paths_ri = run_rescue_round(graph, cfg, accepted, ri)
+                new, paths_ri = run_rescue_round(
+                    graph, cfg, accepted, ri, mesh=mesh,
+                    placement=resolved_placement)
             if not new:
                 break
             accepted = accepted + new
@@ -292,6 +296,7 @@ def run_pipeline(
             log.info("rescue round %d: %d additional bridges accepted", ri,
                      len(new))
         metrics.set("n_bridges_rescued", len(rescue_paths))
+        metrics.set("n_bridges_accepted", len(accepted))  # incl. rescued
 
     with metrics.stage("stitch"):
         lut = plan.uid_to_row()

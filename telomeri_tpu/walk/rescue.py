@@ -60,11 +60,13 @@ def _canon_pair(a: int, b: int) -> tuple[int, int]:
 
 def run_rescue_round(
     graph: GraphTensors, cfg: ScaffoldConfig, accepted: list[Bridge],
-    round_ix: int = 0, gd=None,
+    round_ix: int = 0, gd=None, mesh=None, placement: str = "replicated",
 ):
     """One rescue round. Returns (new_bridges, paths) where paths maps each new
     bridge's rep_uid to its (nodes, eids) for the stitcher, or ([], {}) when
-    nothing qualified."""
+    nothing qualified. placement="rowshard" routes the walks through the
+    row-sharded engine (>HBM graphs; byte-identical records), keeping pipeline
+    output placement-invariant."""
     from telomeri_tpu.scaffold.stitch import extract_path
     from telomeri_tpu.walk.engine import graph_to_device, run_walks_sectioned
 
@@ -74,18 +76,31 @@ def run_rescue_round(
     per_end = min(cfg.rescue_walks_per_end,
                   max(MAX_RESCUE_WALKS // len(ends), 64))
     starts = np.repeat(np.array(ends, np.int32), per_end)
+    # pad the batch so the mc section divides any mesh (inactive rows are
+    # inert; padding does not change per-row results — uid-keyed RNG)
+    mult = cfg.walk_batch_multiple * (mesh.size if mesh is not None else 1)
+    n_pad = -len(starts) % mult
+    active = np.concatenate([np.ones(len(starts), bool), np.zeros(n_pad, bool)])
+    starts = np.concatenate([starts, np.zeros(n_pad, np.int32)])
     w = len(starts)
     uid0 = RESCUE_UID_BASE + round_ix * (1 << 24)
     plan = WalkPlan(
         start=starts, first_edge=np.full(w, -1, np.int32),
         mode=np.full(w, MODE_MC, np.int32),
         uid=(uid0 + np.arange(w)).astype(np.int32),
-        active=np.ones(w, bool), sections={"greedy": (0, 0), "mc": (0, w)})
-    if gd is None:
-        gd = graph_to_device(graph)
-    res = run_walks_sectioned(
-        gd, plan, cfg.mc_seed, n_anchors=graph.n_anchors,
-        max_steps=cfg.max_steps)
+        active=active, sections={"greedy": (0, 0), "mc": (0, w)})
+    if placement == "rowshard":
+        from telomeri_tpu.dist.rowshard import run_walks_rowsharded
+
+        res = run_walks_rowsharded(
+            graph, plan, cfg.mc_seed, n_anchors=graph.n_anchors,
+            max_steps=cfg.max_steps, mesh=mesh)
+    else:
+        if gd is None:
+            gd = graph_to_device(graph)
+        res = run_walks_sectioned(
+            gd, plan, cfg.mc_seed, n_anchors=graph.n_anchors,
+            max_steps=cfg.max_steps)
     nodes = np.asarray(res.nodes)
     steps = np.asarray(res.steps)
     succ = np.asarray(res.success)
