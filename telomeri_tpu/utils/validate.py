@@ -49,12 +49,6 @@ class Placement:
 _MIN_OK = 0.5  # below this, try the other strand / call unplaced
 
 
-def _hit_count(qkm: np.ndarray, idx: KmerIndex, probe_stride: int) -> int:
-    if len(qkm) == 0:
-        return 0
-    return int((idx.lookup_unique(qkm[::probe_stride]) >= 0).sum())
-
-
 def place_scaffold(name: str, scaffold: np.ndarray, genomes: dict, k: int = 24,
                    stride: int = 32, sample: int = 1,
                    must_cover: list | None = None,
@@ -68,21 +62,32 @@ def place_scaffold(name: str, scaffold: np.ndarray, genomes: dict, k: int = 24,
     exact junction windows; process-parallel segment evaluation)."""
     best = Placement(name, None, 0, 0, 0, 0.0)
     scaffold = np.asarray(scaffold)
-    oriented = {1: scaffold, -1: reverse_complement(scaffold)}
     n_q = len(scaffold)
+    # lazy per-strand sequences/packs: the losing strand's full pack (the
+    # validator's per-scaffold serial cost) is only built when the winner
+    # aligns poorly
+    _seqs: dict = {1: scaffold}
+    _kms: dict = {}
+
+    def seq_of(s):
+        if s not in _seqs:
+            _seqs[s] = reverse_complement(scaffold)
+        return _seqs[s]
+
+    def km_of(s, k):
+        if s not in _kms:
+            _kms[s] = pack_kmers(seq_of(s), k)
+        return _kms[s]
+
     for gname, g in genomes.items():
         garr, gidx = g if isinstance(g, tuple) else (
             g, KmerIndex.build(g, k, keep_raw=True))
-        kms = {s: pack_kmers(seq, k) for s, seq in oriented.items()}
-        hits = {s: _hit_count(kms[s], gidx, stride * 8) for s in (1, -1)}
-        order = sorted((1, -1), key=lambda s: -hits[s])
-        for s in order:
-            if hits[s] == 0 and hits[order[0]] > 0:
-                continue
+        for s in (1, -1):
             # must_cover windows are in FORWARD scaffold coords; mirror for -1
             mc = ([(n_q - hi, n_q - lo) for lo, hi in must_cover]
                   if (must_cover and s == -1) else must_cover)
-            al = chain_align(oriented[s], garr, gidx, stride=stride, qkm=kms[s],
+            al = chain_align(seq_of(s), garr, gidx, stride=stride,
+                             qkm=km_of(s, k),
                              sample=sample, must_cover=mc, n_jobs=n_jobs)
             if al is None:
                 continue
@@ -92,7 +97,7 @@ def place_scaffold(name: str, scaffold: np.ndarray, genomes: dict, k: int = 24,
                                  n_anchors=al.n_anchors, edits=al.edits)
                 best._alignment = al  # noqa: SLF001 — used for junction checks
             if best.identity >= _MIN_OK:
-                break  # first strand aligned fine; skip the mirror
+                break  # this strand aligned fine; skip the mirror's full pack
     return best
 
 
