@@ -56,8 +56,9 @@ def place_scaffold(name: str, scaffold: np.ndarray, genomes: dict, k: int = 24,
     """Best alignment-based placement of `scaffold` across reference sequences.
 
     genomes: {name: array} or {name: (array, KmerIndex)} (index precomputed once
-    by validate_assembly). Strand is chosen by a cheap unique-hit probe, with the
-    other strand as fallback when the winner aligns poorly.
+    by validate_assembly). Strands are tried + then -, stopping as soon as one
+    aligns acceptably — the mirror strand's sequence and k-mer pack (a real
+    per-scaffold serial cost at genome scale) are built lazily only on demand.
     sample/must_cover/n_jobs pass through to chain_align (sampled identity with
     exact junction windows; process-parallel segment evaluation)."""
     best = Placement(name, None, 0, 0, 0, 0.0)
