@@ -472,8 +472,10 @@ def chain_align(query: np.ndarray, genome: np.ndarray, gidx: KmerIndex,
     sampled_fraction, identity_stderr = 1.0, 0.0
     if sample <= 1 or len(align_ix) < 8:
         todo = align_ix
+        rate_ix: set[int] = set()
     else:
-        chosen = set(align_ix[::sample])
+        systematic = set(align_ix[::sample])
+        forced: set[int] = set()
         if must_cover:
             # vectorized window->segment intersection (the naive double loop is
             # O(junctions x segments) — measured minutes at genome scale)
@@ -486,17 +488,29 @@ def chain_align(query: np.ndarray, genome: np.ndarray, gidx: KmerIndex,
             for (wlo, whi) in must_cover:
                 first = int(np.searchsorted(hi_s, wlo, "right"))
                 last = int(np.searchsorted(lo_s, whi, "left"))
-                chosen.update(aix[order[first:last]].tolist())
-        todo = sorted(chosen)
+                forced.update(aix[order[first:last]].tolist())
+        # the rest-rate sample must match the REST population: must_cover
+        # windows sit over gap fills with far-above-average error AND are all
+        # removed from the rest, so both including them in the rate and
+        # leaving their share in it biased identity low by up to 0.5% (hg002)
+        rate_ix = systematic - forced
+        if not rate_ix:
+            rate_ix = systematic
+        todo = sorted(systematic | forced)
     if todo:
         ev = _eval_segments_parallel(
             query, genome, [segs[i] for i in todo], n_jobs)
         costs[np.array(todo)] = ev
     if todo and len(todo) < len(align_ix):
-        # estimate the unaligned remainder from the sampled per-column rate
+        # estimate the unaligned remainder from the SYSTEMATIC sample's
+        # per-column rate only: must_cover-forced segments (junction windows)
+        # are deliberately placed over gap fills whose error rate is far above
+        # the scaffold average — including them measured a 0.5%-of-identity
+        # downward bias at hg002 scale (round 3)
         rest = np.array(sorted(set(align_ix) - set(todo)))
-        w_ev = cols[np.array(todo)].astype(np.float64)
-        c_ev = costs[np.array(todo)].astype(np.float64)
+        sys_ix = np.array(sorted(rate_ix))
+        w_ev = cols[sys_ix].astype(np.float64)
+        c_ev = costs[sys_ix].astype(np.float64)
         W_ev = float(w_ev.sum())
         rate = float(c_ev.sum()) / W_ev if W_ev else 0.0
         # error-diffusion rounding: naive per-segment rint would zero the

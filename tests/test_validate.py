@@ -192,3 +192,28 @@ def test_reverse_strand_junction_window():
                             junctions={"s": [len(s) - 30_000]})
     assert rep["placements"][0]["strand"] == -1
     assert rep["worst_junction_identity"] < 0.6
+
+
+def test_sampled_rate_unpolluted_by_junction_windows():
+    """Junction windows sit over gap fills with far-above-average error; the
+    sampled-mode rest-rate must come from the systematic sample EXCLUDING the
+    window-forced segments, or whole-scaffold identity biases low (measured
+    0.5% of identity at hg002 scale — round 3)."""
+    g = _rand_seq(400_000, 31)
+    # scaffold: clean copy except a 6 kb high-error patch around the "junction"
+    s = np.concatenate([
+        g[:197_000],
+        _indel_mutate(g[197_000:203_000], 32, sub=0.06, ins=0.01, dele=0.01),
+        g[203_000:]])
+    scaffolds = SequenceSet(["s"], [s])
+    genomes = SequenceSet(["g"], [g])
+    full = validate_assembly(scaffolds, genomes, junctions={"s": [200_000]})
+    samp = validate_assembly(scaffolds, genomes, junctions={"s": [200_000]},
+                             sample=8)
+    # the high-error patch is ~1.5% of columns at ~8% error: whole-scaffold
+    # identity ~0.9988. A rate polluted by the exact junction windows would
+    # overshoot the remaining edits several-fold.
+    assert abs(samp["mean_identity"] - full["mean_identity"]) < 3e-4, \
+        (samp["mean_identity"], full["mean_identity"])
+    # junction identity itself is exact in both modes
+    assert samp["worst_junction_identity"] == full["worst_junction_identity"]
