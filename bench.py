@@ -372,8 +372,11 @@ def main():
     cfg, _edges, graph, plan = build_problem(mc_small, device_scoring="off")
     oracle_per_s = bench_oracle(cfg, graph, plan)
 
-    # Small batch: the guaranteed line. One retry if the tunnel eats the first try.
-    res = _run_child(mc_small, timeout_s=min(budget_left() - 60, 330))
+    # Small batch: the guaranteed line. The first child gets nearly the whole
+    # budget — the compile+first-run cost through the tunnel is volatile
+    # (3s..330s measured for the identical CACHED program; remote-side, not
+    # local-cache-fixable), so capping it below the budget only loses lines.
+    res = _run_child(mc_small, timeout_s=budget_left() - 40)
     if res is None and budget_left() > 100:
         res = _run_child(mc_small, timeout_s=budget_left() - 30)
     if res is None:
