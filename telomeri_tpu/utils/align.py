@@ -105,10 +105,13 @@ class KmerIndex:
     def from_packed(km: np.ndarray, k: int, keep_raw: bool = False) -> "KmerIndex":
         # unstable sort is fine: lookup_unique only ever reads positions of
         # k-mers that occur EXACTLY once, where order is irrelevant (~1.7x
-        # faster at genome scale than kind="stable")
+        # faster at genome scale than kind="stable"). Positions are int32
+        # whenever they fit — half the index memory/traffic at genome scale.
         order = np.argsort(km)
+        if len(km) < 2**31:
+            order = order.astype(np.int32)
         return KmerIndex(k=k, sorted_km=km[order],
-                         sorted_pos=order.astype(np.int64),
+                         sorted_pos=order,
                          raw=km if keep_raw else None)
 
     def lookup_unique(self, query_km: np.ndarray) -> np.ndarray:
