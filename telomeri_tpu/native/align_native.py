@@ -1,0 +1,75 @@
+"""ctypes loader for the native alignment helpers (align_native.cpp).
+
+Optional like paf_native: every entry point returns None (or falls back) when
+the library is missing or predates these symbols; utils/align.py then uses its
+numpy/python implementations (same results — parity in tests/test_native.py).
+Build with `python -m telomeri_tpu.native.build`.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+
+import numpy as np
+
+_LIB_PATH = os.path.join(os.path.dirname(__file__), "libtelomeri_native.so")
+_lib = None
+_load_failed = False
+
+
+def _load():
+    global _lib, _load_failed
+    if _lib is not None or _load_failed:
+        return _lib
+    if not os.path.exists(_LIB_PATH):
+        _load_failed = True
+        return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+        lib.tel_radix_argsort_kmers.restype = None
+        lib.tel_radix_argsort_kmers.argtypes = [
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64)]
+        lib.tel_lis_chain.restype = ctypes.c_int64
+        lib.tel_lis_chain.argtypes = [
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64)]
+        _lib = lib
+    except (OSError, AttributeError):   # missing lib or stale lib w/o symbols
+        _load_failed = True
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def radix_argsort_kmers(km: np.ndarray, bits: int):
+    """(sorted_keys int64, positions int32) or None. km must be C-contiguous
+    int64 with all keys in [0, 2^bits); callers pass bits = 2*k <= 62."""
+    lib = _load()
+    if lib is None or not (0 < bits <= 62):
+        return None
+    km = np.ascontiguousarray(km, np.int64)
+    n = len(km)
+    pos = np.empty(n, np.int32)
+    out = np.empty(n, np.int64)
+    lib.tel_radix_argsort_kmers(
+        km.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), n, bits,
+        pos.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    return out, pos
+
+
+def lis_chain(values: np.ndarray):
+    """LIS indices (int64) or None. Byte-identical to align.lis_chain."""
+    lib = _load()
+    if lib is None:
+        return None
+    v = np.ascontiguousarray(values, np.int64)
+    out = np.empty(len(v), np.int64)
+    m = lib.tel_lis_chain(
+        v.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), len(v),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    return out[:m].copy()

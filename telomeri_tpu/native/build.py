@@ -10,7 +10,7 @@ import subprocess
 import sys
 
 HERE = os.path.dirname(os.path.abspath(__file__))
-SOURCES = ["paf_parser.cpp"]
+SOURCES = ["paf_parser.cpp", "align_native.cpp"]
 OUT = os.path.join(HERE, "libtelomeri_native.so")
 
 

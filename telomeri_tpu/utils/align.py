@@ -103,10 +103,20 @@ class KmerIndex:
 
     @staticmethod
     def from_packed(km: np.ndarray, k: int, keep_raw: bool = False) -> "KmerIndex":
-        # unstable sort is fine: lookup_unique only ever reads positions of
-        # k-mers that occur EXACTLY once, where order is irrelevant (~1.7x
-        # faster at genome scale than kind="stable"). Positions are int32
-        # whenever they fit — half the index memory/traffic at genome scale.
+        # Sort order among EQUAL keys is irrelevant: lookup_unique only ever
+        # reads positions of k-mers occurring exactly once. Large inputs use
+        # the native LSD radix sort (align_native.cpp: 2k-bit keys, byte
+        # passes — np.argsort's comparison sort was the dominant serial cost
+        # of a genome-scale index build); fallback is unstable np.argsort.
+        # Positions are int32 whenever they fit (half the index memory).
+        if len(km) >= (1 << 16) and len(km) < 2**31:
+            from telomeri_tpu.native import align_native
+
+            res = align_native.radix_argsort_kmers(km, 2 * k)
+            if res is not None:
+                skm, pos = res
+                return KmerIndex(k=k, sorted_km=skm, sorted_pos=pos,
+                                 raw=km if keep_raw else None)
         order = np.argsort(km)
         if len(km) < 2**31:
             order = order.astype(np.int32)
@@ -126,12 +136,20 @@ class KmerIndex:
 
 def lis_chain(values: np.ndarray) -> np.ndarray:
     """Indices of a longest STRICTLY-increasing subsequence (patience sorting,
-    O(n log n); ties resolved deterministically to the earliest candidates)."""
+    O(n log n); ties resolved deterministically to the earliest candidates).
+    Large inputs use the native port (align_native.cpp, byte-identical output;
+    the python loop costs ~10s per million anchors at genome scale)."""
     import bisect
 
     n = len(values)
     if n == 0:
         return np.empty(0, np.int64)
+    if n >= 4096:
+        from telomeri_tpu.native import align_native
+
+        res = align_native.lis_chain(values)
+        if res is not None:
+            return res
     tails: list[int] = []       # smallest tail value of an inc. run of each length
     tails_idx: list[int] = []
     parent = np.full(n, -1, np.int64)

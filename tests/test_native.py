@@ -117,3 +117,83 @@ def test_native_fastx_header_whitespace(tmp_path):
     p.write_bytes(b"> seq1 desc\nAC\n> seq2\nGT\n")
     names, seqs = paf_native.parse_fastx(str(p))
     assert names == ["seq1", "seq2"]
+
+
+# ---------------------------------------------------------------------------
+# align_native parity (radix k-mer argsort + LIS chain)
+# ---------------------------------------------------------------------------
+
+needs_align_native = pytest.mark.skipif(
+    not __import__("telomeri_tpu.native.align_native",
+                   fromlist=["available"]).available(),
+    reason="native library not built")
+
+
+@needs_align_native
+def test_radix_argsort_kmers_parity():
+    from telomeri_tpu.native.align_native import radix_argsort_kmers
+
+    rng = np.random.default_rng(3)
+    for n, k in ((70_000, 24), (200_001, 11), (65_537, 31)):
+        km = rng.integers(0, 1 << min(2 * k, 62), n, dtype=np.int64)
+        skm, pos = radix_argsort_kmers(km, 2 * k)
+        assert np.array_equal(skm, np.sort(km))
+        assert np.array_equal(km[pos.astype(np.int64)], skm)
+        # LSD radix is stable: matches numpy's stable argsort exactly
+        assert np.array_equal(pos, np.argsort(km, kind="stable").astype(np.int32))
+
+
+@needs_align_native
+def test_kmer_index_native_vs_numpy_lookups():
+    """KmerIndex must answer lookup_unique identically whichever sort built it."""
+    from telomeri_tpu.native import align_native
+    from telomeri_tpu.utils.align import KmerIndex, pack_kmers
+
+    rng = np.random.default_rng(4)
+    seq = np.frombuffer(rng.choice(list(b"ACGT"), size=80_000).astype(np.uint8)
+                        .tobytes(), dtype=np.uint8)
+    km = pack_kmers(seq, 15)
+    native = KmerIndex.from_packed(km, 15)      # >= 1<<16: native radix path
+    # force the numpy fallback
+    orig = align_native.radix_argsort_kmers
+    align_native.radix_argsort_kmers = lambda *a, **k: None
+    try:
+        fallback = KmerIndex.from_packed(km, 15)
+    finally:
+        align_native.radix_argsort_kmers = orig
+    q = km[rng.integers(0, len(km), 5_000)]
+    assert np.array_equal(native.lookup_unique(q), fallback.lookup_unique(q))
+
+
+@needs_align_native
+def test_lis_chain_native_parity():
+    import bisect
+
+    from telomeri_tpu.native.align_native import lis_chain as lis_native
+    from telomeri_tpu.utils.align import lis_chain
+
+    def py_lis(values):
+        tails, tails_idx = [], []
+        parent = np.full(len(values), -1, np.int64)
+        for i, val in enumerate(int(x) for x in values):
+            j = bisect.bisect_left(tails, val)
+            if j == len(tails):
+                tails.append(val)
+                tails_idx.append(i)
+            else:
+                tails[j] = val
+                tails_idx[j] = i
+            if j > 0:
+                parent[i] = tails_idx[j - 1]
+        out = []
+        i = tails_idx[-1]
+        while i >= 0:
+            out.append(i)
+            i = parent[i]
+        return np.array(out[::-1], np.int64)
+
+    rng = np.random.default_rng(5)
+    for n in (1, 17, 4_095, 4_096, 50_000):   # spans the native threshold
+        v = rng.integers(0, max(n, 2), n).astype(np.int64)
+        assert np.array_equal(lis_chain(v), py_lis(v)), n
+        assert np.array_equal(lis_native(v), py_lis(v)), n
