@@ -288,3 +288,34 @@ def test_containment_heavy_reads(tmp_path):
     sc = res.scaffolds[0].seq
     assert len(sc) == len(sim.genome)
     assert float(np.mean(sc == sim.genome)) > 0.99
+
+
+def test_rescue_round_mesh_parity(tmp_path):
+    """A rescue round firing under a device mesh (replicated AND rowshard
+    placements) must write the same FASTA as the 1-device run — rescue walks
+    are uid-keyed and placement-invariant."""
+    import dataclasses
+
+    from telomeri_tpu.dist.mesh import make_walk_mesh
+
+    sim = simulate(SimConfig(
+        genome_len=220_000, repeat_len=12_000, n_repeat_copies=3,
+        read_len_mean=2_200, read_len_sd=300, coverage=14.0,
+        error_rate=0.02, cross_copy_overlaps=True, copy_divergence=0.02,
+        seed=2))
+    d = str(tmp_path / "data")
+    write_dataset(sim, d)
+    args = (f"{d}/contigs.fa", f"{d}/reads.fa", f"{d}/read2contig.paf",
+            f"{d}/read2read.paf")
+    cfg = ScaffoldConfig(mc_walks_per_end=3, max_steps=32, rescue_rounds=1,
+                         rescue_walks_per_end=800)
+    r1 = run_pipeline(*args, str(tmp_path / "one.fa"), cfg)
+    assert r1.metrics.values["n_bridges_rescued"] == 1   # rescue really fires
+    mesh = make_walk_mesh(8)
+    run_pipeline(*args, str(tmp_path / "mesh.fa"), cfg, mesh=mesh)
+    run_pipeline(*args, str(tmp_path / "rs.fa"),
+                 dataclasses.replace(cfg, graph_placement="rowshard"),
+                 mesh=mesh)
+    one = open(tmp_path / "one.fa", "rb").read()
+    assert one == open(tmp_path / "mesh.fa", "rb").read()
+    assert one == open(tmp_path / "rs.fa", "rb").read()
