@@ -132,6 +132,11 @@ class ScaffoldConfig:
                   "rescue_rounds", "rescue_walks_per_end"):
             if getattr(self, f) < 0:
                 raise ValueError(f"{f} must be >= 0")
+        if self.rescue_rounds > 63:
+            # rescue uids live at RESCUE_UID_BASE + round*(1<<24) and must
+            # stay inside int32 (walk/rescue.py)
+            raise ValueError(
+                f"rescue_rounds must be <= 63, got {self.rescue_rounds}")
         # structurally positive: zero breaks padding/bucketing/argmax downstream
         for f in ("max_degree", "max_steps", "group_window", "min_group_support",
                   "walk_batch_multiple"):

@@ -192,6 +192,12 @@ def run_pipeline(
 
     resolved_placement = cfg.graph_placement
     if walks_artifact:
+        # resume must ≡ direct: the rescue stage below needs the SAME placement
+        # resolution the direct run's walk stage would have made (review r3:
+        # 'auto' left unresolved here replicated a >HBM graph in rescue)
+        if mesh is not None:
+            resolved_placement = _resolve_placement(
+                cfg, graph, mesh, metrics).graph_placement
         with metrics.stage("load_walks_artifact"):
             plan, walks = load_walks(walks_artifact, cfg)
         metrics.set("n_walks", plan.n_active)
@@ -280,14 +286,19 @@ def run_pipeline(
         from telomeri_tpu.utils.watchdog import DispatchWatch
         from telomeri_tpu.walk.rescue import free_walkable_ends, run_rescue_round
 
+        rescue_gd = None   # replicated-path device tables, uploaded ONCE
         for ri in range(cfg.rescue_rounds):
             if not free_walkable_ends(graph, accepted):
                 break
+            if rescue_gd is None and resolved_placement != "rowshard":
+                from telomeri_tpu.walk.engine import graph_to_device
+
+                rescue_gd = graph_to_device(graph)
             key = f"rescue_walks:R{ri}"
             with metrics.stage(f"rescue_round_{ri}"), \
                     DispatchWatch(metrics).watch(key):
                 new, paths_ri = run_rescue_round(
-                    graph, cfg, accepted, ri, mesh=mesh,
+                    graph, cfg, accepted, ri, gd=rescue_gd, mesh=mesh,
                     placement=resolved_placement)
             if not new:
                 break

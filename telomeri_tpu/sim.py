@@ -326,6 +326,11 @@ def simulate(cfg: SimConfig) -> SimData:
                 a2 = int(rng.integers(0, max(cfg.genome_len - sb, 1)))
                 if min(a1 + sa, a2 + sb) + cfg.min_sim_overlap < max(a1, a2):
                     break   # disjoint loci (with margin): a real split artifact
+            else:
+                # genome too small for disjoint segments of these spans: skip
+                # rather than emit a "chimera" whose halves co-locate (review
+                # r3 — a locally-consistent read must not be labeled chimeric)
+                continue
             st1, st2 = int(rng.integers(0, 2)), int(rng.integers(0, 2))
             idx = len(reads)
             seq1, map1 = _make_read(genome, a1, a1 + sa, st1, cfg, rng)

@@ -541,12 +541,13 @@ def chain_align(query: np.ndarray, genome: np.ndarray, gidx: KmerIndex,
         costs[rest] = np.diff(np.concatenate([[0.0], cum])).astype(np.int64)
         # ~1 sd: unevaluated segments draw a per-column rate with the sampled
         # weighted variance, independently per segment (approximate — segments
-        # are near-iid at anchor-stride scale)
+        # are near-iid at anchor-stride scale). The stderr DENOMINATOR must be
+        # the same total column count identity uses, which includes the
+        # head/tail columns filled in below — finalized after the tail block.
         r_i = np.divide(c_ev, w_ev, out=np.zeros_like(c_ev), where=w_ev > 0)
         s2 = float(np.sum(w_ev * (r_i - rate) ** 2) / W_ev) if W_ev else 0.0
         var_est = s2 * float(np.sum(cols[rest].astype(np.float64) ** 2))
-        total_cols = float(cols.sum()) if cols.sum() else 1.0
-        identity_stderr = float(np.sqrt(var_est)) / total_cols
+        identity_stderr = float(np.sqrt(var_est))   # numerator; /= cols below
         sampled_fraction = W_ev / max(W_ev + float(cols[rest].sum()), 1.0)
 
     # head: query[0:q0] vs genome ending at g0, free start (clamped at genome 0)
@@ -571,9 +572,11 @@ def chain_align(query: np.ndarray, genome: np.ndarray, gidx: KmerIndex,
     if qtail:
         costs[nseg + 1] = myers_pair(query[qL:], genome[gL:thi], "free_t_end")
 
+    total_cols = int(cols.sum())
     return ChainAlignment(
         n_anchors=len(qp), q_anchor=qp, g_anchor=gp,
-        edits=int(costs.sum()), columns=int(cols.sum()),
+        edits=int(costs.sum()), columns=total_cols,
         seg_qlo=qlos, seg_qhi=qhis, seg_cost=costs, seg_cols=cols,
-        sampled_fraction=sampled_fraction, identity_stderr=identity_stderr,
+        sampled_fraction=sampled_fraction,
+        identity_stderr=identity_stderr / max(total_cols, 1),
     )

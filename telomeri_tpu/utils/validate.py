@@ -49,6 +49,23 @@ class Placement:
 _MIN_OK = 0.5  # below this, try the other strand / call unplaced
 
 
+def _probe_hits(seq: np.ndarray, gidx: KmerIndex, n_probe: int = 2048) -> int:
+    """Unique-hit count of ~n_probe evenly-spaced k-mers — a cheap strand/
+    reference ordering signal that needs NO full k-mer pack (k gathers of
+    n_probe elements)."""
+    from telomeri_tpu.utils.align import _CODE_LUT
+
+    k = gidx.k
+    n = len(seq) - k + 1
+    if n <= 0:
+        return 0
+    p = np.linspace(0, n - 1, min(n_probe, n)).astype(np.int64)
+    km = np.zeros(len(p), np.int64)
+    for i in range(k):
+        km = (km << 2) | _CODE_LUT[seq[p + i]]
+    return int((gidx.lookup_unique(km) >= 0).sum())
+
+
 def place_scaffold(name: str, scaffold: np.ndarray, genomes: dict, k: int = 24,
                    stride: int = 32, sample: int = 1,
                    must_cover: list | None = None,
@@ -56,9 +73,10 @@ def place_scaffold(name: str, scaffold: np.ndarray, genomes: dict, k: int = 24,
     """Best alignment-based placement of `scaffold` across reference sequences.
 
     genomes: {name: array} or {name: (array, KmerIndex)} (index precomputed once
-    by validate_assembly). Strands are tried + then -, stopping as soon as one
-    aligns acceptably — the mirror strand's sequence and k-mer pack (a real
-    per-scaffold serial cost at genome scale) are built lazily only on demand.
+    by validate_assembly). Strands are ordered by a cheap unique-hit probe and
+    tried in that order, stopping as soon as one aligns acceptably — the losing
+    strand's sequence and full k-mer pack (a real per-scaffold serial cost at
+    genome scale) are built lazily only on demand.
     sample/must_cover/n_jobs pass through to chain_align (sampled identity with
     exact junction windows; process-parallel segment evaluation)."""
     best = Placement(name, None, 0, 0, 0, 0.0)
@@ -83,7 +101,15 @@ def place_scaffold(name: str, scaffold: np.ndarray, genomes: dict, k: int = 24,
     for gname, g in genomes.items():
         garr, gidx = g if isinstance(g, tuple) else (
             g, KmerIndex.build(g, k, keep_raw=True))
-        for s in (1, -1):
+        # order strands by the cheap probe (round-3 review: always trying +
+        # first let a weak wrong-strand chain clear _MIN_OK and skip the true
+        # mirror alignment on multi-reference inputs); a zero-hit strand is
+        # skipped when the other has hits
+        hits = {s: _probe_hits(seq_of(s), gidx) for s in (1, -1)}
+        order = sorted((1, -1), key=lambda s: -hits[s])
+        for s in order:
+            if hits[s] == 0 and hits[order[0]] > 0:
+                continue
             # must_cover windows are in FORWARD scaffold coords; mirror for -1
             mc = ([(n_q - hi, n_q - lo) for lo, hi in must_cover]
                   if (must_cover and s == -1) else must_cover)
@@ -98,7 +124,7 @@ def place_scaffold(name: str, scaffold: np.ndarray, genomes: dict, k: int = 24,
                                  n_anchors=al.n_anchors, edits=al.edits)
                 best._alignment = al  # noqa: SLF001 — used for junction checks
             if best.identity >= _MIN_OK:
-                break  # this strand aligned fine; skip the mirror's full pack
+                break  # probe-ordered winner aligned fine; skip the mirror
     return best
 
 

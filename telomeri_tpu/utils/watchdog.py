@@ -105,7 +105,11 @@ class DispatchWatch:
                     key, dt, dt / hist, hist)
             new = dt if hist is None else (1 - _EWMA) * hist + _EWMA * dt
             self.history[key] = new
-            _save_history(self.path, self.history)
+            # merge-on-save: reload and update only this key, so concurrent
+            # runs sharing the cache don't clobber each other's entries
+            merged = _load_history(self.path)
+            merged[key] = new
+            _save_history(self.path, merged)
             if self.metrics is not None:
                 d = self.metrics.values.setdefault("dispatches", {})
                 rec = d.setdefault(key, {"s": [], "hist_s": None, "slow": False})

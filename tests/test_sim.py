@@ -189,8 +189,10 @@ def test_chimeric_reads_split_paf_rows():
 
 
 def test_chimera_off_stream_identical():
-    """chimera_rate=0 / dropouts off must reproduce the round-2 streams byte-
-    for-byte (the unit refactor may not disturb golden datasets)."""
+    """chimera_rate=0 / dropouts off: the simulator stays deterministic with
+    indel+jitter knobs on. (The actual round-2 stream-compat guarantee is
+    pinned by tests/test_golden.py's CHECKED-IN lambda dataset + FASTA
+    byte-equality, which predates the AlignUnit refactor.)"""
     base = SimConfig(genome_len=30_000, repeat_len=1_500, end_jitter=10,
                      ins_rate=0.01, del_rate=0.01, seed=6)
     d1 = simulate(base)

@@ -106,17 +106,30 @@ def test_dispatch_watchdog(tmp_path, caplog):
         _json.dump({"stage:1024": 0.001}, f)
     m3 = Metrics()
     w3 = wd.DispatchWatch(m3, history_path=hist)
-    # threshold is warn_factor * max(hist, 1.0) -> need > 5s to warn for real
-    # dispatches; patch the floor down for the test
+    with caplog.at_level(logging.WARNING, logger="telomeri_tpu"):
+        with w3.watch("stage:1024"):
+            _time.sleep(0.01)
+    # 0.01s vs 0.001 hist is 10x but under the 1.0s threshold floor: no warning
+    assert not any("its usual" in r.message for r in caplog.records)
+    assert not m3.values["dispatches"]["stage:1024"]["slow"]
+
+    # POSITIVE path: drop the floor so a 0.02s dispatch against a 0.002s
+    # history trips the 5x warning (real dispatches need > 5s)
+    with open(hist, "w") as f:
+        _json.dump({"stage:2048": 0.002}, f)
+    m4 = Metrics()
+    w4 = wd.DispatchWatch(m4, history_path=hist)
     old = wd._WARN_FACTOR
+
     try:
+        wd._WARN_FACTOR = 0.005   # threshold = 0.005 * max(0.002, 1.0) = 5 ms
         with caplog.at_level(logging.WARNING, logger="telomeri_tpu"):
-            with w3.watch("stage:1024"):
-                _time.sleep(0.01)
-        # 0.01s vs 0.001 hist is 10x but under the 1.0s floor: no warning
-        assert not any("its usual" in r.message for r in caplog.records)
+            with w4.watch("stage:2048"):
+                _time.sleep(0.02)
     finally:
         wd._WARN_FACTOR = old
+    assert any("its usual" in r.message for r in caplog.records)
+    assert m4.values["dispatches"]["stage:2048"]["slow"]
 
     # in-flight hang warning fires while the dispatch is still running
     old_floor, old_repeat = wd._HANG_FLOOR_S, wd._REPEAT_S

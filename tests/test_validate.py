@@ -217,3 +217,22 @@ def test_sampled_rate_unpolluted_by_junction_windows():
         (samp["mean_identity"], full["mean_identity"])
     # junction identity itself is exact in both modes
     assert samp["worst_junction_identity"] == full["worst_junction_identity"]
+
+
+def test_multi_reference_reverse_strand_with_decoy():
+    """Round-3 review: strand order must come from the unique-hit probe. A
+    scaffold truly from reference B's REVERSE strand, while reference A shares
+    a weak forward-strand similarity (shared segment), must still place on
+    B/-1 — a fixed +-first order with the >= 0.5 early break would stop at the
+    decoy and never align B's mirror."""
+    shared = _rand_seq(12_000, 41)
+    a_rest = _rand_seq(28_000, 42)
+    b_rest = _rand_seq(28_000, 43)
+    ga = np.concatenate([shared, a_rest])
+    gb = np.concatenate([shared, b_rest])
+    s = reverse_complement(gb)            # true placement: gb, strand -1
+    rep = validate_assembly(SequenceSet(["s"], [s]),
+                            SequenceSet(["ga", "gb"], [ga, gb]))
+    p = rep["placements"][0]
+    assert (p["genome"], p["strand"]) == ("gb", -1), p
+    assert p["identity"] == 1.0
