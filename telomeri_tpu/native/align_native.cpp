@@ -93,4 +93,79 @@ int64_t tel_lis_chain(const int64_t* values, int64_t n, int64_t* out) {
     return len;
 }
 
+// Myers bit-vector edit distance over uint64 word blocks — exact port of the
+// python-bigint myers_pair in utils/align.py (same op order, same boundary
+// handling). mode: 0 = global, 1 = free_t_start, 2 = free_t_end.
+// Callers handle the m==0 / tn==0 early-outs; q/t are ACGT bytes (other bytes
+// code like utils/align._CODE_LUT: clip(searchsorted) semantics).
+int64_t tel_myers_pair(const uint8_t* q, int64_t m,
+                       const uint8_t* t, int64_t tn, int mode) {
+    static int8_t lut[256];
+    static bool lut_init = false;
+    if (!lut_init) {
+        const uint8_t bases[4] = {'A', 'C', 'G', 'T'};
+        for (int b = 0; b < 256; b++) {
+            int lo = 0;                    // searchsorted(left) then clip 0..3
+            while (lo < 4 && bases[lo] < (uint8_t)b) lo++;
+            lut[b] = (int8_t)(lo > 3 ? 3 : lo);
+        }
+        lut_init = true;
+    }
+    int64_t nw = (m + 63) / 64;
+    std::vector<uint64_t> peq(4 * nw, 0), pv(nw), mv(nw, 0),
+        xv(nw), xh(nw), ph(nw), mh(nw);
+    for (int64_t i = 0; i < m; i++)
+        peq[(size_t)lut[q[i]] * nw + i / 64] |= 1ULL << (i % 64);
+    uint64_t last_mask = (m % 64) ? ((1ULL << (m % 64)) - 1) : ~0ULL;
+    for (int64_t w = 0; w < nw; w++) pv[w] = ~0ULL;
+    pv[nw - 1] = last_mask;
+    int64_t top_w = (m - 1) / 64;
+    int top_b = (int)((m - 1) % 64);
+    int64_t score = m, best = m;
+    uint64_t hin = (mode == 1) ? 0ULL : 1ULL;
+    for (int64_t j = 0; j < tn; j++) {
+        const uint64_t* eq = &peq[(size_t)lut[t[j]] * nw];
+        // xv = eq | mv ; xh = (((eq & pv) + pv) ^ pv) | eq  (multi-word add)
+        uint64_t carry = 0;
+        for (int64_t w = 0; w < nw; w++) {
+            xv[w] = eq[w] | mv[w];
+            uint64_t a = eq[w] & pv[w];
+            uint64_t s = a + pv[w];
+            uint64_t c1 = s < a;
+            uint64_t s2 = s + carry;
+            carry = c1 | (s2 < s);
+            xh[w] = (s2 ^ pv[w]) | eq[w];
+        }
+        for (int64_t w = 0; w < nw; w++) {
+            ph[w] = mv[w] | ~(xh[w] | pv[w]);
+            mh[w] = pv[w] & xh[w];
+        }
+        ph[nw - 1] &= last_mask;
+        mh[nw - 1] &= last_mask;
+        score += (int64_t)((ph[top_w] >> top_b) & 1);
+        score -= (int64_t)((mh[top_w] >> top_b) & 1);
+        // ph = (ph << 1) | hin ; mh <<= 1  (multi-word shifts)
+        uint64_t cin = hin;
+        for (int64_t w = 0; w < nw; w++) {
+            uint64_t out = ph[w] >> 63;
+            ph[w] = (ph[w] << 1) | cin;
+            cin = out;
+        }
+        cin = 0;
+        for (int64_t w = 0; w < nw; w++) {
+            uint64_t out = mh[w] >> 63;
+            mh[w] = (mh[w] << 1) | cin;
+            cin = out;
+        }
+        for (int64_t w = 0; w < nw; w++) {
+            pv[w] = mh[w] | ~(xv[w] | ph[w]);
+            mv[w] = ph[w] & xv[w];
+        }
+        pv[nw - 1] &= last_mask;
+        mv[nw - 1] &= last_mask;
+        if (mode == 2 && score < best) best = score;
+    }
+    return mode == 2 ? best : score;
+}
+
 }  // extern "C"

@@ -35,6 +35,10 @@ def _load():
         lib.tel_lis_chain.argtypes = [
             ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int64)]
+        lib.tel_myers_pair.restype = ctypes.c_int64
+        lib.tel_myers_pair.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int]
         _lib = lib
     except (OSError, AttributeError):   # missing lib or stale lib w/o symbols
         _load_failed = True
@@ -60,6 +64,23 @@ def radix_argsort_kmers(km: np.ndarray, bits: int):
         pos.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
     return out, pos
+
+
+_MYERS_MODE = {"global": 0, "free_t_start": 1, "free_t_end": 2}
+
+
+def myers_pair(q: np.ndarray, t: np.ndarray, mode: str):
+    """Edit distance (int) or None. Exact port of align.myers_pair's loop;
+    callers keep the m==0 / tn==0 early-outs."""
+    lib = _load()
+    if lib is None:
+        return None
+    q = np.ascontiguousarray(q, np.uint8)
+    t = np.ascontiguousarray(t, np.uint8)
+    return int(lib.tel_myers_pair(
+        q.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(q),
+        t.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(t),
+        _MYERS_MODE[mode]))
 
 
 def lis_chain(values: np.ndarray):

@@ -232,6 +232,14 @@ def myers_pair(q: np.ndarray, t: np.ndarray, mode: str = "global") -> int:
         return 0 if mode != "global" else tn
     if tn == 0:
         return m
+    if m > 64:
+        # the native word-blocked port wins once the pattern spans multiple
+        # words (python bigints are competitive below that); same results
+        from telomeri_tpu.native import align_native
+
+        res = align_native.myers_pair(q, t, mode)
+        if res is not None:
+            return res
     qc = _codes(q)
     peq = [0, 0, 0, 0]
     for i in range(m):

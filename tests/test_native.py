@@ -197,3 +197,31 @@ def test_lis_chain_native_parity():
         v = rng.integers(0, max(n, 2), n).astype(np.int64)
         assert np.array_equal(lis_chain(v), py_lis(v)), n
         assert np.array_equal(lis_native(v), py_lis(v)), n
+
+
+@needs_align_native
+def test_myers_pair_native_parity():
+    """Word-blocked C++ Myers == python-bigint Myers across word boundaries,
+    modes, and indel-bearing targets."""
+    from telomeri_tpu.native import align_native
+    from telomeri_tpu.utils import align
+
+    def py_myers(q, t, mode):
+        orig = align_native.myers_pair
+        align_native.myers_pair = lambda *a: None   # force the bigint path
+        try:
+            return align.myers_pair(q, t, mode)
+        finally:
+            align_native.myers_pair = orig
+
+    rng = np.random.default_rng(7)
+    rand = lambda n: np.frombuffer(
+        rng.choice(list(b"ACGT"), n).astype(np.uint8).tobytes(), np.uint8)
+    for m in (1, 63, 64, 65, 128, 129, 700):
+        q = rand(m)
+        targets = [rand(int(m * 1.2) + 1), q[: max(1, m - 2)].copy(),
+                   np.concatenate([q[: m // 2], rand(m // 2 + 5)])]
+        for t in targets:
+            for mode in ("global", "free_t_start", "free_t_end"):
+                assert align_native.myers_pair(q, t, mode) == \
+                    py_myers(q, t, mode), (m, len(t), mode)
