@@ -51,6 +51,9 @@ def test_config_rejects_zero_structurals():
         with pytest.raises(ValueError, match=f):
             ScaffoldConfig(**{f: 0})
     ScaffoldConfig(mc_walks_per_end=0)  # legitimate: greedy-only run
+    with pytest.raises(ValueError, match="rescue_rounds"):
+        ScaffoldConfig(rescue_rounds=64)  # uid0 would leave int32 (rescue.py)
+    ScaffoldConfig(rescue_rounds=0)       # legitimate: rescue disabled
 
 
 def test_bucket_len_properties():
