@@ -107,6 +107,11 @@ def build_parser() -> argparse.ArgumentParser:
     v.add_argument("--jobs", type=int, default=0,
                    help="worker processes for segment alignment "
                         "(0 = all CPU cores; results identical at any count)")
+    v.add_argument("--index-cache", metavar="DIR", default="auto",
+                   help="persist the reference k-mer index (minutes to build "
+                        "at genome scale, loads memory-mapped in seconds): "
+                        "'auto' = next to the genome file, 'off' = disable, "
+                        "or an explicit directory")
 
     g = sub.add_parser("simulate", help="generate a synthetic test dataset")
     g.add_argument("--out", required=True, help="output directory")
@@ -168,13 +173,17 @@ def main(argv: list[str] | None = None) -> int:
         from telomeri_tpu.io.fasta import read_fasta
         from telomeri_tpu.utils.validate import read_agp_junctions, validate_assembly
 
+        cache_dir = (None if args.index_cache == "off"
+                     else os.path.dirname(os.path.abspath(args.genome))
+                     if args.index_cache == "auto" else args.index_cache)
         report = validate_assembly(
             read_fasta(args.scaffolds, lazy="auto"),
             read_fasta(args.genome, lazy="auto"),
             k=args.seed_kmer, stride=args.stride,
             junctions=read_agp_junctions(args.agp) if args.agp else None,
             junction_window=args.junction_window,
-            sample=args.sample, n_jobs=args.jobs or (os.cpu_count() or 1))
+            sample=args.sample, n_jobs=args.jobs or (os.cpu_count() or 1),
+            index_cache_dir=cache_dir)
         print(json.dumps(report, indent=2, sort_keys=True))
         return 0
 

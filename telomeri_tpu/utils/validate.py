@@ -15,6 +15,7 @@ positions are provided (from Scaffold.segments or an AGP file).
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -148,10 +149,43 @@ def read_agp_junctions(path: str) -> dict[str, list[int]]:
     return {n: sorted(set(v)) for n, v in out.items()}
 
 
+def _cached_index(arr: np.ndarray, k: int, cache_path: str | None):
+    """KmerIndex for a reference sequence, persisted to cache_path (.npz).
+
+    A genome-scale index build costs minutes (pack + radix sort of ~genome-len
+    keys) and is identical across validate runs of the same reference; the
+    cache loads memory-mapped, so reruns start in seconds and page in only the
+    k-mers actually probed. The cache is keyed by (k, length, first/last-64bp
+    checksum) — a changed genome never matches."""
+    fp = None
+    if cache_path:
+        head = int(np.int64(arr[:64].sum())) if len(arr) else 0
+        tail = int(np.int64(arr[-64:].sum())) if len(arr) else 0
+        fp = np.array([k, len(arr), head, tail], np.int64)
+        try:
+            z = np.load(cache_path, mmap_mode="r")
+            if np.array_equal(np.asarray(z["fp"]), fp):
+                return KmerIndex(k=k, sorted_km=z["sorted_km"],
+                                 sorted_pos=z["sorted_pos"], raw=z["raw"])
+        except (OSError, ValueError, KeyError):
+            pass
+    idx = KmerIndex.build(arr, k, keep_raw=True)
+    if cache_path:
+        try:
+            tmp = cache_path + ".tmp.npz"   # savez appends .npz unless present
+            np.savez(tmp, fp=fp, sorted_km=idx.sorted_km,
+                     sorted_pos=idx.sorted_pos, raw=idx.raw)
+            os.replace(tmp, cache_path)
+        except OSError:   # unwritable location: cache is best-effort
+            pass
+    return idx
+
+
 def validate_assembly(scaffolds, genomes, k: int = 24, stride: int = 32,
                       junctions: dict[str, list[int]] | None = None,
                       junction_window: int = 2000, sample: int = 1,
-                      n_jobs: int = 1) -> dict:
+                      n_jobs: int = 1,
+                      index_cache_dir: str | None = None) -> dict:
     """Validate a scaffold set against reference sequences (indel-tolerant).
 
     scaffolds/genomes: SequenceSet-shaped (names + seqs). junctions: optional
@@ -173,9 +207,12 @@ def validate_assembly(scaffolds, genomes, k: int = 24, stride: int = 32,
     t0 = time.perf_counter()
     for i, n in enumerate(genomes.names):
         arr = np.asarray(genomes.seqs[i])
-        gmap[n] = (arr, KmerIndex.build(arr, k, keep_raw=True))  # built ONCE per genome
-    log.info("validate: indexed %d reference seq(s), %d bp in %.1fs",
-             len(gmap), int(np.sum(genomes.lengths)), time.perf_counter() - t0)
+        cache = (os.path.join(index_cache_dir, f"{n}.k{k}.idx.npz")
+                 if index_cache_dir else None)
+        gmap[n] = (arr, _cached_index(arr, k, cache))  # built ONCE per genome
+    log.info("validate: indexed %d reference seq(s), %d bp in %.1fs%s",
+             len(gmap), int(np.sum(genomes.lengths)), time.perf_counter() - t0,
+             f" (cache dir {index_cache_dir})" if index_cache_dir else "")
     placements = []
     worst_junction = None
     max_stderr = 0.0

@@ -236,3 +236,25 @@ def test_multi_reference_reverse_strand_with_decoy():
     p = rep["placements"][0]
     assert (p["genome"], p["strand"]) == ("gb", -1), p
     assert p["identity"] == 1.0
+
+
+def test_index_cache_roundtrip(tmp_path):
+    """The persisted reference index must reproduce lookups exactly, hit on an
+    unchanged genome, and miss (rebuild) when the genome changes."""
+    g = _rand_seq(120_000, 51)
+    s = _indel_mutate(g, 52, sub=0.01, ins=0.003, dele=0.003)
+    scaffolds = SequenceSet(["s"], [s])
+    genomes = SequenceSet(["g"], [g])
+    r0 = validate_assembly(scaffolds, genomes)
+    r1 = validate_assembly(scaffolds, genomes, index_cache_dir=str(tmp_path))
+    cache = tmp_path / "g.k24.idx.npz"
+    assert cache.exists()
+    r2 = validate_assembly(scaffolds, genomes, index_cache_dir=str(tmp_path))
+    assert r0 == r1 == r2                      # cold == build+save == mmap hit
+    # changed genome: fingerprint mismatch -> rebuild, correct placement
+    g2 = g.copy()
+    g2[:64] = ord("A")
+    r3 = validate_assembly(SequenceSet(["s"], [g2[500:2500].copy()]),
+                           SequenceSet(["g"], [g2]),
+                           index_cache_dir=str(tmp_path))
+    assert r3["placements"][0]["offset"] == 500
