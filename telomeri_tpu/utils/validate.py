@@ -155,13 +155,15 @@ def _cached_index(arr: np.ndarray, k: int, cache_path: str | None):
     A genome-scale index build costs minutes (pack + radix sort of ~genome-len
     keys) and is identical across validate runs of the same reference; the
     cache loads memory-mapped, so reruns start in seconds and page in only the
-    k-mers actually probed. The cache is keyed by (k, length, first/last-64bp
-    checksum) — a changed genome never matches."""
+    k-mers actually probed. The cache is keyed by (k, length, full byte sum,
+    position-weighted strided sum): any substitution moves the full sum, and
+    length changes / block moves hit the weighted term — one cheap pass."""
     fp = None
     if cache_path:
-        head = int(np.int64(arr[:64].sum())) if len(arr) else 0
-        tail = int(np.int64(arr[-64:].sum())) if len(arr) else 0
-        fp = np.array([k, len(arr), head, tail], np.int64)
+        total = int(arr.sum(dtype=np.int64))
+        strided = arr[::8191].astype(np.int64)
+        weighted = int((strided * np.arange(1, len(strided) + 1)).sum())
+        fp = np.array([k, len(arr), total, weighted], np.int64)
         try:
             z = np.load(cache_path, mmap_mode="r")
             if np.array_equal(np.asarray(z["fp"]), fp):
