@@ -187,3 +187,25 @@ def test_lazy_no_trailing_newline(tmp_path):
     q.write_bytes(b"@r1\nACGT\n+\nIIII")            # FASTQ, no trailing newline
     lazy, eager = read_fasta(str(q), lazy="on"), read_fasta(str(q))
     _assert_same(lazy, eager)
+
+
+def test_paf_minimap2_tag_columns(tmp_path):
+    """Real minimap2 PAF rows carry SAM-like tag columns (tp:A:, cm:i:, s1:i:,
+    dv:f:, ...) after the 12 standard fields; both parsers must ignore them and
+    read the standard columns identically."""
+    from telomeri_tpu.io.paf import parse_paf
+    from telomeri_tpu.native import paf_native
+
+    p = tmp_path / "tags.paf"
+    p.write_text(
+        "r1\t1000\t10\t900\t+\tc1\t5000\t100\t990\t850\t895\t60"
+        "\ttp:A:P\tcm:i:80\ts1:i:500\tdv:f:0.0123\n"
+        "r2\t800\t0\t700\t-\tc1\t5000\t200\t910\t640\t710\t0\ttp:A:S\n")
+    rec = parse_paf(str(p), {"r1": 0, "r2": 1, "c1": 2})
+    assert len(rec) == 2
+    assert rec.nmatch.tolist() == [850, 640]
+    assert rec.blocklen.tolist() == [895, 710]
+    assert rec.strand.tolist() == [0, 1]
+    if paf_native.available():
+        raw = paf_native.parse_paf_columns(str(p))
+        assert raw is not None and len(raw[2]) == 2
