@@ -69,7 +69,14 @@ class ScaffoldConfig:
     lazy_sequences: str = "auto"
 
     # --- path generation ---
-    mc_walks_per_end: int = 100    # Monte-Carlo repetitions per anchor end
+    # Monte-Carlo repetitions per anchor end. Raised 100 -> 1000 in round 4:
+    # with density-INVARIANT read-diverse support (support_mode below) extra
+    # walks can only discover more distinct paths, never inflate a chimera's
+    # support, and the engine saturates at ~1.5M walks in flight (BASELINE.md
+    # roofline) — hg002-sub's whole production batch at 1000/end is still under
+    # 1M walks, ~0.5 s of device time, and bridges sampling-limited gaps (gap
+    # 354) in the BASE round instead of needing a rescue round.
+    mc_walks_per_end: int = 1000
     max_steps: int = 32            # fixed walk length bound (nodes beyond the start anchor)
     mc_seed: int = 0               # base PRNG seed; per-walk streams via fold_in(walk_uid)
     # two-phase MC scan: run this many steps for every walk, then continue only
@@ -88,7 +95,14 @@ class ScaffoldConfig:
     # path_len // group_window) — consensus/grouping.py rule 3
     grouping: str = "windowed"
     group_window: int = 1000       # path-length gap / bucket width (bp)
-    min_group_support: int = 2     # winning group must hold >= this many paths
+    min_group_support: int = 2     # winning group must hold >= this many support units
+    # support unit (consensus/grouping.py rule 6): "read_diverse" (default since
+    # round 4) counts DISTINCT paths per group and additionally refuses a pair
+    # whose distinct paths all share one read (cut-read gate,
+    # consensus/evidence.py) — density-invariant and chimera-proof, so
+    # mc_walks_per_end can rise freely. "walk_count" is the rounds-1-3 raw
+    # walk count (density-inflated; kept for comparability).
+    support_mode: str = "read_diverse"
 
     # --- rescue rounds (walk/rescue.py) ---
     # after conflict resolution, re-walk still-free walkable contig ends at
@@ -117,6 +131,10 @@ class ScaffoldConfig:
         if self.grouping not in ("windowed", "fixed"):
             raise ValueError(
                 f"grouping must be windowed/fixed, got {self.grouping!r}")
+        if self.support_mode not in ("read_diverse", "walk_count"):
+            raise ValueError(
+                f"support_mode must be read_diverse/walk_count, "
+                f"got {self.support_mode!r}")
         if self.graph_placement not in ("auto", "replicated", "rowshard"):
             raise ValueError(
                 f"graph_placement must be auto/replicated/rowshard, "

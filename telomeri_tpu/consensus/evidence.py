@@ -1,0 +1,89 @@
+"""Cut-read gate: the host half of read-diverse consensus support (round 4).
+
+A winning length-group with >= min_group_support DISTINCT paths (counted on
+device by consensus/grouping.py, support_mode="read_diverse") is still refused
+if one read appears in EVERY distinct path: a chimeric read fabricates a
+junction that only IT spans, so every path through the fake junction contains
+it, at any walk density. True junctions spanned by a single read fail the same
+test — on PAF evidence alone they are indistinguishable from chimeras
+(BASELINE.md hg002 gaps 145/306) — which is the documented, deliberate refusal.
+
+This was the rescue-round acceptance rule in round 3 (walk/rescue.py); round 4
+makes it normative for the BASE consensus too, so base walk density can rise to
+whatever the chip gives without inflating support (VERDICT r3 next-#1).
+
+The gate inspects only the flagged distinct-representative rows
+(ConsensusResult.win_distinct — a handful per bridge), so it stays cheap at any
+walk density and needs only a tiny collective fetch when the walk records are
+device-sharded (dist/mesh.fetch_walk_rows, the stitch-stage mechanism).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from telomeri_tpu.utils.logging import log
+
+
+def interior_reads(nodes_row: np.ndarray, steps_i: int,
+                   virtual_base: int) -> frozenset:
+    """Set of read SEQUENCE ids on one walk's interior (hop nodes stripped,
+    oriented node -> sequence via // 2)."""
+    return frozenset(int(x) // 2 for x in nodes_row[1:steps_i]
+                     if 0 <= x < virtual_base)
+
+
+def read_diversity_gate(
+    rows: list[dict], cons, walks, virtual_base: int, mesh=None,
+) -> tuple[list[dict], list[dict]]:
+    """Filter compress() bridge rows by the empty-cut-read-intersection rule.
+
+    rows: consensus/compress() dicts (already min_support-filtered).
+    cons: the ConsensusResult they came from (win_distinct must be present).
+    walks: the WalkResult those rows were grouped from — host numpy OR
+        device-resident walk-sharded arrays (pass mesh; rows are fetched via
+        the stitch-stage collective, so multi-process >HBM runs work — the
+        round-3 rescue stage crashed exactly here, ADVICE r3 item 1).
+    Returns (kept_rows, dropped_rows); dropped rows carry their cut read ids.
+    """
+    if not rows:
+        return rows, []
+    if cons.win_distinct is None:
+        raise ValueError("read_diversity_gate needs a read_diverse consensus "
+                         "(ConsensusResult.win_distinct is None)")
+    idx = np.flatnonzero(np.asarray(cons.win_distinct))
+    if mesh is not None and not isinstance(walks.nodes, np.ndarray):
+        from telomeri_tpu.dist.mesh import fetch_walk_rows
+
+        mini = fetch_walk_rows(walks, idx, mesh)
+        nodes, steps, terms = mini.nodes, mini.steps, mini.terminal
+    else:
+        nodes = np.asarray(walks.nodes)[idx]
+        steps = np.asarray(walks.steps)[idx]
+        terms = np.asarray(walks.terminal)[idx]
+
+    readsets: dict[tuple[int, int], list[frozenset]] = {}
+    for r in range(len(idx)):
+        a, b = int(nodes[r, 0]), int(terms[r])
+        pair = min((a, b), (b ^ 1, a ^ 1))
+        readsets.setdefault(pair, []).append(
+            interior_reads(nodes[r], int(steps[r]), virtual_base))
+
+    kept, dropped = [], []
+    for row in rows:
+        sets = readsets.get(tuple(row["pair"]))
+        if not sets:  # defensively keep: a valid row always has flagged members
+            log.warning("cut-read gate: no flagged paths for pair %s; keeping",
+                        row["pair"])
+            kept.append(row)
+            continue
+        cut = frozenset.intersection(*sets)
+        if cut:
+            log.info(
+                "consensus: pair %s has %d distinct paths but cut read(s) %s "
+                "— single-point evidence, refused (chimera-indistinguishable)",
+                row["pair"], row["count"], sorted(cut))
+            dropped.append(dict(row, cut_reads=sorted(cut)))
+        else:
+            kept.append(row)
+    return kept, dropped

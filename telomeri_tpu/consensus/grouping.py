@@ -23,7 +23,21 @@ Normative rules (deterministic, host-count-invariant — SURVEY.md §7):
      group with the SMALLER minimal path length (shorter bridge).
   5. The representative of the winning group is its max score_sum walk; exact ties
      break to the smaller walk uid.
-  6. A pair yields a bridge only if the winning group holds >= min_group_support walks.
+  6. A pair yields a bridge only if the winning group holds >= min_group_support
+     SUPPORT units. Two support modes (ScaffoldConfig.support_mode):
+       - "read_diverse" (default since round 4): support = number of DISTINCT
+         paths in the group, where a path's identity is (path_len, canonical
+         interior signature) — see path_signature. Walk COUNT is density-inflated
+         (doubling mc_walks_per_end doubles every count, real or chimeric), so it
+         cannot gate safely at high walk density; distinct-path support is
+         density-INVARIANT: more walks can only discover new paths, never inflate
+         existing ones (the rescue-round argument, walk/rescue.py round 3, now
+         normative for the base round). Group population for rule 4 is also the
+         distinct count in this mode. The companion cut-read gate
+         (consensus/evidence.py) additionally refuses a pair whose distinct
+         paths all share one read.
+       - "walk_count": raw successful-walk count (rounds 1-3 behavior; only
+         sound at low, comparable densities).
 
 ConsensusResult.bucket reports the winning group's key: its minimal path length
 (windowed) or its bucket index (fixed).
@@ -56,6 +70,9 @@ class WalkSummary(NamedTuple):
     path_len: jax.Array   # (W,) int32
     score_sum: jax.Array  # (W,) f32
     uid: jax.Array        # (W,) int32
+    # (W,) uint32 canonical interior-path signature (path_signature), or None
+    # when the summary was built without walk records (legacy "walk_count" mode)
+    sig: jax.Array | None = None
 
 
 class ConsensusResult(NamedTuple):
@@ -72,16 +89,71 @@ class ConsensusResult(NamedTuple):
     bucket: jax.Array     # (W,) int32 winning length bucket
     rep_uid: jax.Array    # (W,) int32 representative walk uid
     rep_score: jax.Array  # (W,) f32 representative walk score_sum
+    # (W,) bool in ORIGINAL WALK ORDER (not segment order like the fields above):
+    # marks one walk per distinct path of each min_support-passing winning group —
+    # the rows the cut-read gate (consensus/evidence.py) must inspect. None in
+    # "walk_count" mode.
+    win_distinct: jax.Array | None = None
 
     def to_numpy(self) -> "ConsensusResult":
-        return ConsensusResult(*[np.asarray(a) for a in self])
+        return ConsensusResult(
+            *[None if a is None else np.asarray(a) for a in self])
 
 
-def summarize(res, uid) -> WalkSummary:
-    """WalkResult -> WalkSummary (start is nodes[:, 0])."""
+@jax.jit
+def path_signature(nodes: jax.Array, steps: jax.Array,
+                   virtual_base: jax.Array) -> jax.Array:
+    """(W,) uint32 canonical signature of each walk's INTERIOR path.
+
+    Interior = nodes[1:steps] (the reads between the start anchor and the
+    terminal anchor), EXCLUDING hierarchy hop nodes (>= virtual_base —
+    graph/tensorize.py: a hub row chained through virtual children walks the
+    same physical path as a flat row would). The signature is a COMMUTATIVE
+    sum of a murmur3-finalizer mix of each interior node id, canonicalized
+    under direction reversal by min(fwd, mirror): the reverse-complement walk
+    of the same physical path visits the SAME node set with orientations
+    flipped (^1), so summing mix(node^1) reproduces its forward signature
+    exactly — both directions of one path share one signature.
+
+    Commutativity means two DIFFERENT paths visiting the same node multiset in
+    different orders collide; combined with the (path_len, sig) distinct key in
+    group_and_select that requires identical length too, and the consequence
+    being an UNDER-count of distinct support (conservative: refuses, never
+    fabricates evidence), this is an accepted approximation. virtual_base is a
+    TRACED scalar so one compiled program serves every dataset.
+    """
+    w, sp1 = nodes.shape
+    ii = jax.lax.broadcasted_iota(jnp.int32, (w, sp1), 1)
+    interior = ((ii >= 1) & (ii < steps[:, None])
+                & (nodes >= 0) & (nodes < virtual_base))
+
+    def mix(x):  # murmur3 fmix32 (bijective on uint32; +1 keeps node 0 nonzero)
+        x = (x + 1).astype(jnp.uint32)
+        x ^= x >> 16
+        x *= jnp.uint32(0x85EBCA6B)
+        x ^= x >> 13
+        x *= jnp.uint32(0xC2B2AE35)
+        x ^= x >> 16
+        return x
+
+    zero = jnp.uint32(0)
+    fwd = jnp.sum(jnp.where(interior, mix(nodes), zero), axis=1, dtype=jnp.uint32)
+    mir = jnp.sum(jnp.where(interior, mix(nodes ^ 1), zero), axis=1,
+                  dtype=jnp.uint32)
+    return jnp.minimum(fwd, mir)
+
+
+def summarize(res, uid, virtual_base: int | None = None) -> WalkSummary:
+    """WalkResult -> WalkSummary (start is nodes[:, 0]).
+
+    Pass virtual_base (GraphTensors.virtual_base) to compute per-walk path
+    signatures — required for support_mode="read_diverse" grouping."""
+    sig = (None if virtual_base is None
+           else path_signature(res.nodes, res.steps,
+                               jnp.asarray(virtual_base, jnp.int32)))
     return WalkSummary(
         start=res.nodes[:, 0], terminal=res.terminal, success=res.success,
-        path_len=res.path_len, score_sum=res.score_sum, uid=uid,
+        path_len=res.path_len, score_sum=res.score_sum, uid=uid, sig=sig,
     )
 
 
@@ -93,10 +165,11 @@ def _lexsort_rows(keys_minor_to_major):
     return order
 
 
-@functools.partial(jax.jit, static_argnames=("group_window", "min_support", "grouping"))
+@functools.partial(jax.jit, static_argnames=("group_window", "min_support",
+                                             "grouping", "support"))
 def group_and_select(
     s: WalkSummary, *, n_anchors: int = 0, group_window: int, min_support: int,
-    grouping: str = "windowed",
+    grouping: str = "windowed", support: str = "walk_count",
 ) -> ConsensusResult:
     # n_anchors is accepted for API symmetry but unused by the math (canonical
     # pairs + segment reductions never need it); it is deliberately NOT a static
@@ -104,12 +177,20 @@ def group_and_select(
     # walk-batch bucket (utils/shapes.py).
     if grouping not in ("windowed", "fixed"):
         raise ValueError(f"grouping must be windowed/fixed, got {grouping!r}")
+    if support not in ("walk_count", "read_diverse"):
+        raise ValueError(
+            f"support must be walk_count/read_diverse, got {support!r}")
+    diverse = support == "read_diverse"
+    if diverse and s.sig is None:
+        raise ValueError("support='read_diverse' needs path signatures: build "
+                         "the summary with summarize(res, uid, virtual_base)")
     w = s.start.shape[0]
     if w == 0:  # no walks at all (e.g. empty PAF): nothing to group
         zi = jnp.zeros(0, jnp.int32)
         return ConsensusResult(
             valid=jnp.zeros(0, bool), pair_a=zi, pair_b=zi, count=zi, bucket=zi,
-            rep_uid=zi, rep_score=jnp.zeros(0, jnp.float32))
+            rep_uid=zi, rep_score=jnp.zeros(0, jnp.float32),
+            win_distinct=jnp.zeros(0, bool) if diverse else None)
 
     a = s.start.astype(jnp.int32)
     b = s.terminal.astype(jnp.int32)
@@ -129,7 +210,13 @@ def group_and_select(
     cb = jnp.where(valid, cb, _I32MAX)
     key_k = jnp.where(valid, key, _I32MAX)
 
-    order = _lexsort_rows([key_k, cb, ca])
+    # read_diverse adds (path_len, sig) as MINOR sort keys so duplicate records
+    # of one physical path land adjacent within their group — path_len
+    # explicitly, because in "fixed" grouping key is the bucket index, not the
+    # length, and the distinct unit is (path_len, sig) in both modes. Their
+    # ordering is arbitrary (only equality matters), so no sentinels needed.
+    keys = ([s.sig, plen, key_k, cb, ca] if diverse else [key_k, cb, ca])
+    order = _lexsort_rows(keys)
     ca_s, cb_s, key_s = ca[order], cb[order], key_k[order]
     valid_s = valid[order]
     score_s = s.score_sum[order]
@@ -152,7 +239,17 @@ def group_and_select(
     ssum = lambda v: jax.ops.segment_sum(v, seg_id, num_segments=w)
     smax_seg = lambda v: jax.ops.segment_max(v, seg_id, num_segments=w)
 
-    seg_count = ssum(valid_s.astype(jnp.int32))
+    if diverse:
+        # support unit = distinct (path_len, sig): the first row of each
+        # duplicate run inside its segment counts, the rest are re-samples of
+        # the same physical path (rule 6 "read_diverse")
+        sig_s = s.sig[order]
+        plen_s = plen[order]
+        distinct_first = seg_first | neq(plen_s) | neq(sig_s)
+        unit_s = valid_s & distinct_first
+    else:
+        unit_s = valid_s
+    seg_count = ssum(unit_s.astype(jnp.int32))
     seg_pair = smax_seg(jnp.where(valid_s, pair_id, -1))          # pair id of each segment
     # group key for reporting + rule-4 tie-break: bucket index (fixed) or the
     # group's MINIMAL path length (windowed; = first sorted member). Both are
@@ -178,6 +275,13 @@ def group_and_select(
         jnp.where(best_pos, uid_s, _I32MAX), seg_id, num_segments=w)
 
     out_valid = seg_is_winner & (seg_count >= min_support)        # rule 6
+    if diverse:
+        # one flag per distinct path of each min_support-passing winning group,
+        # scattered back to ORIGINAL walk order for the cut-read gate
+        row_win = unit_s & out_valid[seg_id]
+        win_distinct = jnp.zeros(w, bool).at[order].set(row_win)
+    else:
+        win_distinct = None
     return ConsensusResult(
         valid=out_valid,
         pair_a=seg_ca,
@@ -186,24 +290,53 @@ def group_and_select(
         bucket=seg_bucket,
         rep_uid=rep_uid,
         rep_score=smax.astype(jnp.float32),
+        win_distinct=win_distinct,
     )
+
+
+def oracle_interior_key(nodes_row, steps_i: int, virtual_base: int):
+    """EXACT canonical interior-path key of one walk (the scalar mirror of
+    path_signature's hashed one): min(interior, mirror) over the hop-stripped
+    interior node tuple. Used by the oracle and the cut-read gate tests."""
+    interior = tuple(int(x) for x in nodes_row[1:steps_i]
+                     if 0 <= x < virtual_base)
+    mirror = tuple(x ^ 1 for x in reversed(interior))
+    return min(interior, mirror)
 
 
 def consensus_oracle(
     s: WalkSummary, n_anchors: int, group_window: int, min_support: int,
-    grouping: str = "windowed",
+    grouping: str = "windowed", support: str = "walk_count",
+    nodes: np.ndarray | None = None, steps: np.ndarray | None = None,
+    virtual_base: int | None = None,
 ) -> list[dict]:
-    """Scalar python reference of rules 1-6 (tests/test_consensus.py parity)."""
+    """Scalar python reference of rules 1-6 (tests/test_consensus.py parity).
+
+    support="read_diverse" needs the walk records (nodes, steps, virtual_base)
+    and counts distinct (path_len, exact canonical interior) per group — an
+    independent, hash-free mirror of the device's (path_len, sig) key, so the
+    parity test also certifies the hash has no collisions on its inputs."""
     by_pair: dict[tuple[int, int], list[int]] = {}
     start = np.asarray(s.start); term = np.asarray(s.terminal)
     succ = np.asarray(s.success); plen = np.asarray(s.path_len)
     score = np.asarray(s.score_sum); uid = np.asarray(s.uid)
+    diverse = support == "read_diverse"
+    if diverse and (nodes is None or steps is None or virtual_base is None):
+        raise ValueError("read_diverse oracle needs nodes/steps/virtual_base")
     for i in range(len(start)):
         if not succ[i]:
             continue
         a, b = int(start[i]), int(term[i])
         cand = min((a, b), (b ^ 1, a ^ 1))
         by_pair.setdefault(cand, []).append(i)
+
+    def n_units(walks: list[int]) -> int:
+        if not diverse:
+            return len(walks)
+        return len({(int(plen[i]),
+                     oracle_interior_key(nodes[i], int(steps[i]), virtual_base))
+                    for i in walks})
+
     out = []
     for (a, b), members in sorted(by_pair.items()):
         # groups keyed by bucket index (fixed) or group min path length (windowed)
@@ -222,12 +355,12 @@ def consensus_oracle(
                     cur_key = li            # group's min length
                 buckets.setdefault(cur_key, []).append(i)
                 prev_len = li
-        bk = min(buckets, key=lambda k: (-len(buckets[k]), k))
+        bk = min(buckets, key=lambda k: (-n_units(buckets[k]), k))
         walks = buckets[bk]
-        if len(walks) < min_support:
+        if n_units(walks) < min_support:
             continue
         rep = min(walks, key=lambda i: (-score[i], uid[i]))
-        out.append(dict(pair=(a, b), count=len(walks), bucket=bk,
+        out.append(dict(pair=(a, b), count=n_units(walks), bucket=bk,
                         rep_uid=int(uid[rep]), rep_score=float(score[rep])))
     return out
 

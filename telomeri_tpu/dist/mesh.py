@@ -88,6 +88,7 @@ def run_walks_distributed(
     cfg: ScaffoldConfig,
     mesh: Mesh,
     n_anchors: int | None = None,
+    virtual_base: int | None = None,
 ) -> tuple[WalkResult, ConsensusResult]:
     """Sharded walks + gathered consensus: the distributed score+walk+merge step.
 
@@ -104,16 +105,19 @@ def run_walks_distributed(
         if not isinstance(g, GraphTensors):
             raise TypeError("rowshard placement needs host GraphTensors "
                             "(rows are sharded at upload)")
-        n_anchors = g.n_anchors
+        n_anchors, virtual_base = g.n_anchors, g.virtual_base
         res = run_walks_rowsharded(
             g, plan, cfg.mc_seed, n_anchors=n_anchors,
             max_steps=cfg.max_steps, mesh=mesh)
     else:
         if isinstance(g, GraphTensors):
-            n_anchors = g.n_anchors
+            n_anchors, virtual_base = g.n_anchors, g.virtual_base
             g = shard_graph(g, mesh)
         if n_anchors is None:
             raise ValueError("n_anchors required when passing a GraphDev")
+        if cfg.support_mode == "read_diverse" and virtual_base is None:
+            raise ValueError("support_mode='read_diverse' needs virtual_base "
+                             "when passing a GraphDev")
         if len(plan) % mesh.size != 0:
             raise ValueError(
                 f"walk batch {len(plan)} not divisible by mesh size {mesh.size}")
@@ -135,11 +139,12 @@ def run_walks_distributed(
     # all-gather the per-walk summaries (the "candidate path merge" collective), then
     # run the segment-reduce consensus replicated on every device.
     uid_dev = jax.device_put(plan.uid, walk_sharded(mesh))
-    summary = summarize(res, uid_dev)
+    summary = summarize(res, uid_dev, virtual_base=virtual_base)
     summary = jax.device_put(summary, replicated(mesh))
     cons = group_and_select(
         summary, n_anchors=n_anchors, group_window=cfg.group_window,
-        min_support=cfg.min_group_support, grouping=cfg.grouping)
+        min_support=cfg.min_group_support, grouping=cfg.grouping,
+        support=cfg.support_mode)
     return res, cons
 
 

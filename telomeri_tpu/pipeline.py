@@ -13,6 +13,7 @@ from dataclasses import dataclass
 import numpy as np
 
 from telomeri_tpu.config import ScaffoldConfig
+from telomeri_tpu.consensus.evidence import read_diversity_gate
 from telomeri_tpu.consensus.grouping import compress, group_and_select, summarize
 from telomeri_tpu.graph.tensorize import GraphTensors, tensorize
 from telomeri_tpu.io.fasta import SequenceSet, read_fasta, write_fasta
@@ -202,11 +203,11 @@ def run_pipeline(
             plan, walks = load_walks(walks_artifact, cfg)
         metrics.set("n_walks", plan.n_active)
         with metrics.stage("consensus"):
-            summary = summarize(walks, plan.uid)
+            summary = summarize(walks, plan.uid, virtual_base=graph.virtual_base)
             cons = group_and_select(
                 summary, n_anchors=graph.n_anchors,
                 group_window=cfg.group_window, min_support=cfg.min_group_support,
-                grouping=cfg.grouping)
+                grouping=cfg.grouping, support=cfg.support_mode)
             bridges = compress(cons)
     else:
         from telomeri_tpu.utils.profiling import maybe_trace
@@ -240,11 +241,13 @@ def run_pipeline(
                     DispatchWatch(metrics).watch(walk_key):
                 walks = run_walks_host(graph, plan, cfg)
             with metrics.stage("consensus"):
-                summary = summarize(walks, plan.uid)
+                summary = summarize(walks, plan.uid,
+                                    virtual_base=graph.virtual_base)
                 cons = group_and_select(
                     summary, n_anchors=graph.n_anchors,
                     group_window=cfg.group_window,
-                    min_support=cfg.min_group_support, grouping=cfg.grouping)
+                    min_support=cfg.min_group_support, grouping=cfg.grouping,
+                    support=cfg.support_mode)
                 bridges = compress(cons)
         if save_walks_path:
             import jax
@@ -274,6 +277,17 @@ def run_pipeline(
             100 * n_trunc / plan.n_active, cfg.max_steps)
     metrics.set("n_bridges_candidate", len(bridges))
 
+    # cut-read gate (consensus/evidence.py): a bridge whose distinct paths all
+    # share one read is single-point evidence — chimera-indistinguishable
+    if cfg.support_mode == "read_diverse":
+        with metrics.stage("cut_read_gate"):
+            bridges, cut_refused = read_diversity_gate(
+                bridges, cons, walks, graph.virtual_base, mesh=mesh)
+        metrics.set("n_bridges_cut_refused", len(cut_refused))
+        if cut_refused:
+            log.info("cut-read gate: %d candidate bridge(s) refused on "
+                     "single-point evidence", len(cut_refused))
+
     with metrics.stage("resolve_conflicts"):
         accepted = resolve_conflicts(bridges)
     metrics.set("n_bridges_accepted", len(accepted))
@@ -293,7 +307,12 @@ def run_pipeline(
             if rescue_gd is None and resolved_placement != "rowshard":
                 from telomeri_tpu.walk.engine import graph_to_device
 
-                rescue_gd = graph_to_device(graph)
+                if mesh is not None:
+                    from telomeri_tpu.dist.mesh import replicated
+
+                    rescue_gd = graph_to_device(graph, replicated(mesh))
+                else:
+                    rescue_gd = graph_to_device(graph)
             key = f"rescue_walks:R{ri}"
             with metrics.stage(f"rescue_round_{ri}"), \
                     DispatchWatch(metrics).watch(key):

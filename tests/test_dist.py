@@ -57,8 +57,9 @@ def test_sharded_consensus_equals_single_device(toy_graph):
     plan = plan_walks(g, CFG, n_shards=8)
     ref_walks = run_walks_host(g, plan, CFG)
     ref_cons = compress(group_and_select(
-        summarize(ref_walks, plan.uid), n_anchors=g.n_anchors,
-        group_window=CFG.group_window, min_support=CFG.min_group_support))
+        summarize(ref_walks, plan.uid, virtual_base=g.virtual_base),
+        n_anchors=g.n_anchors, group_window=CFG.group_window,
+        min_support=CFG.min_group_support, support=CFG.support_mode))
 
     mesh = make_walk_mesh(8)
     _, cons = run_walks_distributed(g, plan, CFG, mesh)

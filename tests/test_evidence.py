@@ -1,0 +1,224 @@
+"""Round-4 read-diverse consensus: path signatures, distinct-path support,
+the cut-read gate (consensus/evidence.py), and rescue batch caps."""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from telomeri_tpu.config import ScaffoldConfig
+from telomeri_tpu.consensus.evidence import interior_reads, read_diversity_gate
+from telomeri_tpu.consensus.grouping import (
+    compress,
+    consensus_oracle,
+    group_and_select,
+    oracle_interior_key,
+    path_signature,
+    summarize,
+)
+from telomeri_tpu.walk.engine import WalkResult
+
+VB = 40          # virtual_base: 4 anchors (nodes 0..7), reads 8..39, hops >= 40
+S = 6            # max_steps of the hand-built records
+
+
+def mk_walks(rows):
+    """rows: (start, interior_tuple, terminal, success, path_len, score).
+    Builds a WalkResult with nodes[0]=start, nodes[1:steps]=interior,
+    nodes[steps]=terminal (the walk-record layout, walk/engine.py)."""
+    w = len(rows)
+    nodes = np.full((w, S + 1), -1, np.int32)
+    eids = np.full((w, S), -1, np.int32)
+    steps = np.zeros(w, np.int32)
+    succ = np.zeros(w, bool)
+    term = np.full(w, -1, np.int32)
+    plen = np.zeros(w, np.int32)
+    score = np.zeros(w, np.float32)
+    for i, (a, interior, b, ok, pl, sc) in enumerate(rows):
+        nodes[i, 0] = a
+        for j, x in enumerate(interior):
+            nodes[i, 1 + j] = x
+        st = len(interior) + 1
+        nodes[i, st] = b
+        steps[i] = st
+        succ[i] = ok
+        term[i] = b if ok else -1
+        plen[i] = pl
+        score[i] = sc
+    return WalkResult(
+        nodes=jnp.asarray(nodes), eids=jnp.asarray(eids),
+        steps=jnp.asarray(steps), success=jnp.asarray(succ),
+        terminal=jnp.asarray(term), path_len=jnp.asarray(plen),
+        score_sum=jnp.asarray(score))
+
+
+def run_rd(walks, window=100, min_support=2, grouping="windowed"):
+    uid = jnp.arange(walks.steps.shape[0], dtype=jnp.int32)
+    cons = group_and_select(
+        summarize(walks, uid, virtual_base=VB), n_anchors=4,
+        group_window=window, min_support=min_support, grouping=grouping,
+        support="read_diverse")
+    return cons, compress(cons)
+
+
+def test_signature_mirror_invariance():
+    """The rc-direction walk of one physical path (reversed interior, all
+    orientations flipped) must share its signature; a different path must not."""
+    w = mk_walks([
+        (0, (10, 12, 14), 2, True, 500, 1.0),
+        (3, (15, 13, 11), 1, True, 500, 2.0),   # rc walk of row 0
+        (0, (10, 12, 16), 2, True, 500, 3.0),   # different third read
+    ])
+    sig = np.asarray(path_signature(w.nodes, w.steps, jnp.int32(VB)))
+    assert sig[0] == sig[1]
+    assert sig[0] != sig[2]
+
+
+def test_signature_ignores_virtual_hops():
+    w = mk_walks([
+        (0, (10, 12), 2, True, 500, 1.0),
+        (0, (10, 41, 12), 2, True, 500, 1.0),   # same path via a hop node
+    ])
+    sig = np.asarray(path_signature(w.nodes, w.steps, jnp.int32(VB)))
+    assert sig[0] == sig[1]
+    assert oracle_interior_key(
+        np.asarray(w.nodes)[1], int(w.steps[1]), VB) == (10, 12)
+
+
+def test_distinct_path_support_collapses_duplicates():
+    """50 re-samples of one path are ONE support unit; density cannot inflate
+    support (the round-4 invariant)."""
+    rows = [(0, (10, 12), 2, True, 500, 1.0)] * 50
+    cons, out = run_rd(mk_walks(rows), min_support=2)
+    assert out == []                       # 1 distinct path < min_support 2
+    rows.append((0, (14, 16), 2, True, 520, 2.0))
+    cons, out = run_rd(mk_walks(rows), min_support=2)
+    assert len(out) == 1 and out[0]["count"] == 2
+    # win_distinct flags exactly one row per distinct path, in walk order
+    wd = np.asarray(cons.win_distinct)
+    assert wd.sum() == 2
+    assert wd[0] and wd[50]                # first duplicate + the new path
+
+
+def test_mirror_walks_are_one_unit():
+    cons, out = run_rd(mk_walks([
+        (0, (10, 12), 2, True, 500, 1.0),
+        (3, (13, 11), 1, True, 500, 1.5),  # same path walked rc
+    ]), min_support=2)
+    assert out == []                       # still one distinct path
+
+
+def test_cut_read_gate_refuses_shared_read():
+    """Two distinct paths that both contain read 10 (oriented 20/21) are
+    single-point evidence: refused. Disjoint-read paths pass."""
+    walks = mk_walks([
+        (0, (10, 20), 2, True, 500, 1.0),
+        (0, (12, 20), 2, True, 510, 2.0),   # distinct, but read 10 in both
+        (4, (14, 16), 6, True, 800, 3.0),
+        (4, (18, 22), 6, True, 810, 4.0),   # disjoint reads
+    ])
+    cons, rows = run_rd(walks, min_support=2)
+    assert len(rows) == 2
+    kept, dropped = read_diversity_gate(rows, cons, walks, VB)
+    assert [r["pair"] for r in kept] == [(4, 6)]
+    assert len(dropped) == 1 and dropped[0]["cut_reads"] == [10]
+
+
+def test_gate_direct_overlap_path_passes():
+    """An empty-interior (direct contig-contig) path carries no reads, so the
+    intersection is empty: direct overlap + one read path is accepted."""
+    walks = mk_walks([
+        (0, (), 2, True, 50, 1.0),
+        (0, (10,), 2, True, 60, 2.0),
+    ])
+    cons, rows = run_rd(walks, min_support=2, window=100)
+    assert len(rows) == 1 and rows[0]["count"] == 2
+    kept, dropped = read_diversity_gate(rows, cons, walks, VB)
+    assert len(kept) == 1 and not dropped
+    assert interior_reads(np.asarray(walks.nodes)[0], 1, VB) == frozenset()
+
+
+def test_read_diverse_matches_oracle_random(rng):
+    """Device distinct counting (hashed sigs) ≡ exact-key scalar oracle on
+    random records with deliberate duplicates, mirrors, and hop nodes."""
+    rows = []
+    for _ in range(300):
+        a = int(rng.integers(0, 8))
+        b = int(rng.integers(0, 8))
+        ln = int(rng.integers(0, 5))
+        interior = tuple(int(x) for x in rng.integers(8, VB, ln))
+        if rng.random() < 0.15:  # sprinkle a hop node
+            interior = interior + (int(rng.integers(VB, VB + 6)),)
+        ok = bool(rng.random() < 0.8)
+        pl = int(rng.integers(0, 12)) * 50
+        sc = float(rng.integers(1, 30))
+        rows.append((a, interior, b, ok, pl, sc))
+        r = rng.random()
+        if r < 0.3:   # exact duplicate, different score
+            rows.append((a, interior, b, ok, pl, float(rng.integers(1, 30))))
+        elif r < 0.5:  # rc-direction duplicate
+            mirror = tuple(x ^ 1 for x in reversed(interior))
+            rows.append((b ^ 1, mirror, a ^ 1, ok, pl,
+                         float(rng.integers(1, 30))))
+    walks = mk_walks(rows)
+    uid = jnp.arange(len(rows), dtype=jnp.int32)
+    s = summarize(walks, uid, virtual_base=VB)
+    for grouping in ("windowed", "fixed"):
+        got = compress(group_and_select(
+            s, n_anchors=4, group_window=120, min_support=2, grouping=grouping,
+            support="read_diverse"))
+        want = consensus_oracle(
+            s, n_anchors=4, group_window=120, min_support=2, grouping=grouping,
+            support="read_diverse", nodes=np.asarray(walks.nodes),
+            steps=np.asarray(walks.steps), virtual_base=VB)
+        assert got == want, grouping
+
+
+def test_rescue_plan_caps():
+    """ADVICE r3: the rescue batch must stay bounded in the free-end count and
+    inside the per-round uid block."""
+    from telomeri_tpu.walk.rescue import (
+        MAX_RESCUE_WALKS,
+        RESCUE_UID_BASE,
+        build_rescue_plan,
+    )
+
+    cfg = ScaffoldConfig(rescue_walks_per_end=2000)
+    # few ends: full density
+    plan, uid0 = build_rescue_plan([0, 1, 2, 3], cfg, round_ix=0)
+    assert plan.n_active == 4 * 2000
+    assert uid0 == RESCUE_UID_BASE
+    # ~20k ends: per-end density shrinks, total stays capped
+    ends = list(range(20_000))
+    plan, _ = build_rescue_plan(ends, cfg, round_ix=1)
+    assert plan.n_active == 20_000 * (MAX_RESCUE_WALKS // 20_000)
+    assert len(plan) <= MAX_RESCUE_WALKS + cfg.walk_batch_multiple
+    # 300k ends (> budget): end list truncated, 1 walk each, uids in block
+    plan, uid0 = build_rescue_plan(list(range(300_000)), cfg, round_ix=2,
+                                   mesh_size=8)
+    assert len(plan) <= MAX_RESCUE_WALKS + 8 * cfg.walk_batch_multiple
+    assert len(plan) < 1 << 24
+    uids = np.asarray(plan.uid)
+    assert uids.min() == uid0 == RESCUE_UID_BASE + 2 * (1 << 24)
+    assert uids.max() < RESCUE_UID_BASE + 3 * (1 << 24)
+    assert uids.max() <= np.iinfo(np.int32).max
+
+
+def test_walk_count_mode_still_counts_raw():
+    """Legacy support_mode="walk_count": duplicates DO inflate support."""
+    rows = [(0, (10, 12), 2, True, 500, 1.0)] * 3
+    walks = mk_walks(rows)
+    uid = jnp.arange(3, dtype=jnp.int32)
+    out = compress(group_and_select(
+        summarize(walks, uid, virtual_base=VB), n_anchors=4, group_window=100,
+        min_support=2, support="walk_count"))
+    assert len(out) == 1 and out[0]["count"] == 3
+
+
+def test_config_support_mode_validation():
+    import pytest
+
+    with pytest.raises(ValueError, match="support_mode"):
+        ScaffoldConfig(support_mode="bogus")
+    assert dataclasses.replace(
+        ScaffoldConfig(), support_mode="walk_count").support_mode == "walk_count"

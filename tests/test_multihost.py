@@ -81,6 +81,7 @@ def test_two_process_multihost(tmp_path, placement):
     plan = plan_walks(graph, cfg, n_shards=8)
     walks = run_walks_host(graph, plan, cfg)
     rows = compress(group_and_select(
-        summarize(walks, plan.uid), n_anchors=graph.n_anchors,
-        group_window=cfg.group_window, min_support=cfg.min_group_support))
+        summarize(walks, plan.uid, virtual_base=graph.virtual_base),
+        n_anchors=graph.n_anchors, group_window=cfg.group_window,
+        min_support=cfg.min_group_support, support=cfg.support_mode))
     assert outs[0] == "BRIDGES=" + repr(rows)

@@ -219,12 +219,25 @@ def test_chimera_dropout_no_misjoin(tmp_path):
     assert len(pairs) == 3, pairs   # every other gap bridged
     assert len(res.scaffolds) == 2  # the dropout splits the genome in two
 
-    # naive control: support threshold 1 accepts a chimeric (non-adjacent) bridge
+    # naive control: legacy walk-count support at threshold 1 accepts a
+    # chimeric (non-adjacent) bridge — the bait is real
     naive = run_pipeline(*args, str(tmp_path / "naive.fa"),
-                         dataclasses.replace(cfg, min_group_support=1))
+                         dataclasses.replace(cfg, min_group_support=1,
+                                             support_mode="walk_count"))
     naive_pairs = {b.pair for b in naive.accepted}
     assert naive_pairs - adjacent, \
-        "bait did not fire: naive consensus accepted no chimeric bridge"
+        "bait did not fire: naive walk-count consensus accepted no chimeric bridge"
+
+    # round-4 regression: with read-diverse support the cut-read gate ALONE
+    # refuses the chimera even at threshold 1 (every path through the fake
+    # junction contains the chimeric read), so density can rise freely
+    gated = run_pipeline(*args, str(tmp_path / "gated.fa"),
+                         dataclasses.replace(cfg, min_group_support=1))
+    gated_pairs = {b.pair for b in gated.accepted}
+    assert gated_pairs <= adjacent, \
+        f"cut-read gate missed a chimera at support 1: {sorted(gated_pairs - adjacent)}"
+    assert gated.metrics.values.get("n_bridges_cut_refused", 0) > 0, \
+        "the gate never fired on the chimera bait"
 
 
 def test_rescue_round_bridges_undersampled_gap(tmp_path):

@@ -60,11 +60,16 @@ def diagnose(rundir: str, out=sys.stdout):
     plan, walks = load_walks(os.path.join(rundir, "walks.npz"), cfg)
     n_c = graph.n_anchors
 
-    summary = summarize(walks, plan.uid)
+    summary = summarize(walks, plan.uid, virtual_base=graph.virtual_base)
     cons = group_and_select(
         summary, n_anchors=n_c, group_window=cfg.group_window,
-        min_support=cfg.min_group_support, grouping=cfg.grouping).to_numpy()
+        min_support=cfg.min_group_support, grouping=cfg.grouping,
+        support=cfg.support_mode).to_numpy()
     rows = compress(cons)
+    if cfg.support_mode == "read_diverse":
+        from telomeri_tpu.consensus.evidence import read_diversity_gate
+
+        rows, _ = read_diversity_gate(rows, cons, walks, graph.virtual_base)
     accepted = resolve_conflicts(rows)
     acc_pairs = {b.pair for b in accepted}
     end_owner: dict[End, tuple[int, int]] = {}
