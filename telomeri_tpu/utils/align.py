@@ -398,7 +398,15 @@ def _fork_unsafe() -> bool:
     fork() deadlock-prone (CPython emits the same warning). The CLI validate
     path never imports jax, so parallel validation normally proceeds;
     library callers inside a jax process silently fall back to serial.
-    TELOMERI_FORCE_FORK=1 overrides (tests)."""
+    TELOMERI_FORCE_FORK=1 overrides (tests).
+
+    The probe must NOT initialize a backend itself (jax.extend.backend's
+    public get_backend()/backends() would), and as of jax 0.9 no public
+    non-initializing liveness check exists — so try the purpose-built
+    backends_are_initialized() first, then the registry dict, and fail SAFE
+    (assume unsafe -> serial, a performance not correctness fallback) if the
+    private layout changes (advisor/verdict r3: the _backends-only probe was
+    the repo's one private-API dependency)."""
     import os
     import sys
 
@@ -408,9 +416,17 @@ def _fork_unsafe() -> bool:
     if j is None:
         return False
     try:
-        return bool(j._src.xla_bridge._backends)  # noqa: SLF001
-    except AttributeError:   # private layout changed: assume unsafe
+        xb = j._src.xla_bridge  # noqa: SLF001
+    except AttributeError:
         return True
+    for probe in ("backends_are_initialized", "_backends"):
+        v = getattr(xb, probe, None)
+        if v is not None:
+            try:
+                return bool(v() if callable(v) else v)
+            except Exception:
+                return True
+    return True   # no recognizable probe: assume unsafe
 
 
 def _eval_segments_parallel(q, g, segs, n_jobs: int) -> np.ndarray:

@@ -150,34 +150,44 @@ def read_agp_junctions(path: str) -> dict[str, list[int]]:
 
 
 def _cached_index(arr: np.ndarray, k: int, cache_path: str | None):
-    """KmerIndex for a reference sequence, persisted to cache_path (.npz).
+    """KmerIndex for a reference sequence, persisted next to cache_path.
 
     A genome-scale index build costs minutes (pack + radix sort of ~genome-len
-    keys) and is identical across validate runs of the same reference; the
-    cache loads memory-mapped, so reruns start in seconds and page in only the
-    k-mers actually probed. The cache is keyed by (k, length, full byte sum,
-    position-weighted strided sum): any substitution moves the full sum, and
-    length changes / block moves hit the weighted term — one cheap pass."""
+    keys) and is identical across validate runs of the same reference.
+
+    Fingerprint: (k, length, crc32 of the full byte buffer) — a real digest
+    (one fast pass, ~GB/s at genome scale), so ANY edit to the reference
+    invalidates the cache. (The round-3 sum-based fingerprint missed
+    sum-preserving edits like base swaps — advisor r3 item 2.)
+
+    Layout: the three arrays live as SEPARATE .npy files (cache_path is the
+    stem), each loaded with np.load(mmap_mode="r") — reruns start in seconds
+    and page in only the k-mers actually probed. np.load silently IGNORES
+    mmap_mode for .npz archives (members come back as eager ndarrays —
+    advisor r3 item 3), hence one file per array, not an archive."""
+    import zlib
+
     fp = None
+    parts = ("sorted_km", "sorted_pos", "raw")
     if cache_path:
-        total = int(arr.sum(dtype=np.int64))
-        strided = arr[::8191].astype(np.int64)
-        weighted = int((strided * np.arange(1, len(strided) + 1)).sum())
-        fp = np.array([k, len(arr), total, weighted], np.int64)
+        crc = zlib.crc32(memoryview(np.ascontiguousarray(arr)))
+        fp = np.array([k, len(arr), crc], np.int64)
         try:
-            z = np.load(cache_path, mmap_mode="r")
-            if np.array_equal(np.asarray(z["fp"]), fp):
-                return KmerIndex(k=k, sorted_km=z["sorted_km"],
-                                 sorted_pos=z["sorted_pos"], raw=z["raw"])
+            if np.array_equal(np.load(cache_path + ".fp.npy"), fp):
+                km, pos, raw = (np.load(f"{cache_path}.{p}.npy", mmap_mode="r")
+                                for p in parts)
+                return KmerIndex(k=k, sorted_km=km, sorted_pos=pos, raw=raw)
         except (OSError, ValueError, KeyError):
             pass
     idx = KmerIndex.build(arr, k, keep_raw=True)
     if cache_path:
         try:
-            tmp = cache_path + ".tmp.npz"   # savez appends .npz unless present
-            np.savez(tmp, fp=fp, sorted_km=idx.sorted_km,
-                     sorted_pos=idx.sorted_pos, raw=idx.raw)
-            os.replace(tmp, cache_path)
+            for p in parts:
+                np.save(f"{cache_path}.{p}.tmp.npy", getattr(idx, p))
+                os.replace(f"{cache_path}.{p}.tmp.npy", f"{cache_path}.{p}.npy")
+            # fingerprint LAST: a crash mid-write leaves a miss, never a stale hit
+            np.save(cache_path + ".fp.tmp.npy", fp)
+            os.replace(cache_path + ".fp.tmp.npy", cache_path + ".fp.npy")
         except OSError:   # unwritable location: cache is best-effort
             pass
     return idx
@@ -205,11 +215,16 @@ def validate_assembly(scaffolds, genomes, k: int = 24, stride: int = 32,
 
     from telomeri_tpu.utils.logging import log
 
+    if index_cache_dir:
+        try:
+            os.makedirs(index_cache_dir, exist_ok=True)
+        except OSError:   # unwritable: cache stays best-effort
+            pass
     gmap = {}
     t0 = time.perf_counter()
     for i, n in enumerate(genomes.names):
         arr = np.asarray(genomes.seqs[i])
-        cache = (os.path.join(index_cache_dir, f"{n}.k{k}.idx.npz")
+        cache = (os.path.join(index_cache_dir, f"{n}.k{k}.idx")
                  if index_cache_dir else None)
         gmap[n] = (arr, _cached_index(arr, k, cache))  # built ONCE per genome
     log.info("validate: indexed %d reference seq(s), %d bp in %.1fs%s",

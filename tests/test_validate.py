@@ -247,10 +247,16 @@ def test_index_cache_roundtrip(tmp_path):
     genomes = SequenceSet(["g"], [g])
     r0 = validate_assembly(scaffolds, genomes)
     r1 = validate_assembly(scaffolds, genomes, index_cache_dir=str(tmp_path))
-    cache = tmp_path / "g.k24.idx.npz"
-    assert cache.exists()
+    assert (tmp_path / "g.k24.idx.fp.npy").exists()
+    assert (tmp_path / "g.k24.idx.sorted_km.npy").exists()
     r2 = validate_assembly(scaffolds, genomes, index_cache_dir=str(tmp_path))
     assert r0 == r1 == r2                      # cold == build+save == mmap hit
+    # the hit really memory-maps (np.load(mmap_mode) is a no-op on .npz — the
+    # round-3 cache loaded eagerly; advisor r3 item 3)
+    from telomeri_tpu.utils.validate import _cached_index
+
+    idx = _cached_index(g, 24, str(tmp_path / "g.k24.idx"))
+    assert isinstance(idx.sorted_km, np.memmap)
     # changed genome: fingerprint mismatch -> rebuild, correct placement
     g2 = g.copy()
     g2[:64] = ord("A")
@@ -258,3 +264,23 @@ def test_index_cache_roundtrip(tmp_path):
                            SequenceSet(["g"], [g2]),
                            index_cache_dir=str(tmp_path))
     assert r3["placements"][0]["offset"] == 500
+
+
+def test_index_cache_sum_preserving_edit_misses(tmp_path):
+    """Advisor r3 item 2: a sum-preserving edit (swapping two bases) must
+    invalidate the cache — crc32 catches what the old byte-sum missed."""
+    from telomeri_tpu.utils.validate import _cached_index
+
+    g = _rand_seq(50_000, 9)
+    stem = str(tmp_path / "x.idx")
+    _cached_index(g, 24, stem)
+    g2 = g.copy()
+    # swap two different adjacent bases: length and byte sum unchanged
+    i = int(np.flatnonzero(g2[:-1] != g2[1:])[0])
+    g2[i], g2[i + 1] = g2[i + 1], g2[i]
+    idx2 = _cached_index(g2, 24, stem)
+    fresh = _cached_index(g2, 24, None)
+    np.testing.assert_array_equal(np.asarray(idx2.sorted_km),
+                                  np.asarray(fresh.sorted_km))
+    np.testing.assert_array_equal(np.asarray(idx2.sorted_pos),
+                                  np.asarray(fresh.sorted_pos))
