@@ -21,6 +21,11 @@ class ScaffoldConfig:
     """All knobs of the scaffolding pipeline.
 
     Filtering rules (applied in `io/geometry.py`, in this order, on each PAF row):
+      0. malformed:      internally inconsistent arithmetic (coords past
+                         sequence ends, qe <= qs / te <= ts, nmatch > blocklen,
+                         non-positive lengths/blocklen, negative starts) -> drop
+                         (round 4; geometry.malformed_mask — no untrusted row
+                          reaches the geometry/score/stitch math)
       1. self-overlap:   query name == target name                        -> drop
       2. min identity:   SI = nmatch / blocklen;  SI <  min_identity      -> drop
       3. min overlap:    mean aligned span (OL1+OL2)/2 <  min_overlap     -> drop
