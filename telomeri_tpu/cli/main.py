@@ -30,6 +30,11 @@ def _parse_bool(s: str) -> bool:
     raise argparse.ArgumentTypeError(f"expected a boolean, got {s!r}")
 
 
+def _parse_int_tuple(s: str) -> tuple:
+    """Comma-separated ints -> tuple (e.g. --inverted-copies 1,3); '' -> ()."""
+    return tuple(int(x) for x in s.split(",") if x.strip() != "")
+
+
 def _add_config_flags(p: argparse.ArgumentParser) -> None:
     for f in dataclasses.fields(ScaffoldConfig):
         flag = "--" + f.name.replace("_", "-")
@@ -119,7 +124,11 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--preset", choices=sorted(PRESETS),
                    help="evaluation-config preset (flags override its fields)")
     for f in dataclasses.fields(SimConfig):
-        ty = _parse_bool if type(f.default) is bool else type(f.default)
+        ty = type(f.default)
+        if ty is bool:
+            ty = _parse_bool
+        elif ty is tuple:   # e.g. --inverted-copies 1,3 / --dropout-starts 40000
+            ty = _parse_int_tuple
         g.add_argument("--" + f.name.replace("_", "-"), type=ty,
                        default=None, help=f"default {f.default}")
     return ap

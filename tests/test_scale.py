@@ -332,3 +332,99 @@ def test_rescue_round_mesh_parity(tmp_path):
     one = open(tmp_path / "one.fa", "rb").read()
     assert one == open(tmp_path / "mesh.fa", "rb").read()
     assert one == open(tmp_path / "rs.fa", "rb").read()
+
+
+def _fwd_or_rc_identity(sc: np.ndarray, genome: np.ndarray) -> float:
+    from telomeri_tpu.io.fasta import reverse_complement
+
+    if len(sc) != len(genome):
+        return 0.0
+    return max(float(np.mean(sc == genome)),
+               float(np.mean(reverse_complement(sc) == genome)))
+
+
+def test_inverted_repeat_bridging(tmp_path):
+    """Round 4 (VERDICT r3 missing #4): repeat copies planted as REVERSE
+    COMPLEMENTS of the master. Cross-copy rows between normal and inverted
+    copies are strand-flipped with mirrored coordinates — the orientation
+    symmetry of the oriented-node graph that same-orientation suites never
+    exercise. Every gap must bridge to its genome-adjacent contig (an
+    orientation bug pairs wrong ends or crashes identity to ~50%)."""
+    # corrected-read regime (cf. test_cross_copy_interior_paths_corrected_reads):
+    # reads shorter than the repeat walk MULTI-READ interior paths through the
+    # inverted copies, and min_identity=0.97 over 4% divergence removes the
+    # cross-copy teleport web — with the web intact and interior-only reads,
+    # wrong-copy bridges are length-identical to true ones for ANY scaffolder
+    # (sim.py docstring)
+    sim = simulate(SimConfig(
+        genome_len=300_000, repeat_len=8_000, n_repeat_copies=4,
+        read_len_mean=2_500, read_len_sd=400, read_min_len=800, coverage=24.0,
+        error_rate=0.005, ins_rate=0.0025, del_rate=0.0025, end_jitter=10,
+        min_sim_overlap=300, cross_copy_overlaps=True, copy_divergence=0.04,
+        inverted_copies=(1, 3), seed=21))
+    d = str(tmp_path / "data")
+    write_dataset(sim, d)
+    res = run_pipeline(
+        f"{d}/contigs.fa", f"{d}/reads.fa", f"{d}/read2contig.paf",
+        f"{d}/read2read.paf", str(tmp_path / "s.fa"),
+        ScaffoldConfig(mc_walks_per_end=400, max_steps=48, min_identity=0.97))
+    adjacent = {(2 * c, 2 * c + 2) for c in range(4)}
+    pairs = {b.pair for b in res.accepted}
+    assert pairs == adjacent, f"misjoin/missing across inverted copies: {pairs}"
+    assert len(res.scaffolds) == 1
+    rep = _validate(res, sim)
+    assert rep["mean_identity"] > 0.99
+    assert rep["worst_junction_identity"] > 0.9
+
+
+def test_tandem_array_no_misjoin(tmp_path):
+    """Tandem blocks: two back-to-back copies with NO unique sequence between
+    them — the scaffolder must bridge a DOUBLE-length repeat block (2L > 2x
+    read length) without stitching wrong copies together."""
+    sim = simulate(SimConfig(
+        genome_len=260_000, repeat_len=4_000, n_repeat_copies=6,
+        tandem_pairs=2, read_len_mean=2_500, read_len_sd=300, read_min_len=800,
+        coverage=24.0, error_rate=0.005, ins_rate=0.0025, del_rate=0.0025,
+        end_jitter=10, min_sim_overlap=300, cross_copy_overlaps=True,
+        copy_divergence=0.04, seed=22))
+    assert len(sim.contigs) == 5        # 4 blocks (2 tandem + 2 single) + 1
+    d = str(tmp_path / "data")
+    write_dataset(sim, d)
+    res = run_pipeline(
+        f"{d}/contigs.fa", f"{d}/reads.fa", f"{d}/read2contig.paf",
+        f"{d}/read2read.paf", str(tmp_path / "s.fa"),
+        ScaffoldConfig(mc_walks_per_end=400, max_steps=48, min_identity=0.97))
+    adjacent = {(2 * c, 2 * c + 2) for c in range(4)}
+    pairs = {b.pair for b in res.accepted}
+    assert pairs <= adjacent, f"misjoin in tandem array: {pairs - adjacent}"
+    assert pairs == adjacent, f"unbridged tandem gap: {adjacent - pairs}"
+    assert len(res.scaffolds) == 1
+    rep = _validate(res, sim)
+    assert rep["mean_identity"] > 0.99
+    assert rep["worst_junction_identity"] > 0.9
+
+
+def test_het_bubbles_no_misjoin(tmp_path):
+    """Heterozygous SNP bubbles: reads drawn from two haplotypes. The bubble
+    noise must not fragment the scaffold or create misjoins; identity vs the
+    hap-0 truth dips only by the het rate."""
+    # reads LONGER than the repeat (overhang rules thin the cross-copy web,
+    # cf. test_cross_copy_spanning_reads) + het bubbles on top
+    sim = simulate(SimConfig(
+        genome_len=150_000, repeat_len=3_000, n_repeat_copies=3,
+        read_len_mean=5_000, read_len_sd=800, read_min_len=800, coverage=16.0,
+        error_rate=0.02, het_rate=0.002, cross_copy_overlaps=True,
+        copy_divergence=0.02, seed=23))
+    assert sim.het_pos.size > 50
+    d = str(tmp_path / "data")
+    write_dataset(sim, d)
+    res = run_pipeline(
+        f"{d}/contigs.fa", f"{d}/reads.fa", f"{d}/read2contig.paf",
+        f"{d}/read2read.paf", str(tmp_path / "s.fa"),
+        ScaffoldConfig(mc_walks_per_end=200, max_steps=32))
+    adjacent = {(2 * c, 2 * c + 2) for c in range(3)}
+    pairs = {b.pair for b in res.accepted}
+    assert pairs == adjacent, pairs
+    assert len(res.scaffolds) == 1
+    ident = _fwd_or_rc_identity(res.scaffolds[0].seq, sim.genome)
+    assert ident > 0.97, ident
