@@ -102,12 +102,19 @@ class ScaffoldConfig:
     group_window: int = 1000       # path-length gap / bucket width (bp)
     min_group_support: int = 2     # winning group must hold >= this many support units
     # support unit (consensus/grouping.py rule 6): "read_diverse" (default since
-    # round 4) counts DISTINCT paths per group and additionally refuses a pair
-    # whose distinct paths all share one read (cut-read gate,
-    # consensus/evidence.py) — density-invariant and chimera-proof, so
-    # mc_walks_per_end can rise freely. "walk_count" is the rounds-1-3 raw
-    # walk count (density-inflated; kept for comparability).
+    # round 4) gates on DISTINCT paths per group plus the cut-read rule with
+    # split-read discrimination (consensus/evidence.py) — density-invariant
+    # and chimera-proof, so mc_walks_per_end can rise freely. "walk_count" is
+    # the rounds-1-3 raw walk count (density-inflated; kept for comparability).
     support_mode: str = "read_diverse"
+    # split-read (chimera-signature) detection margin: a read with an interior
+    # BREAKPOINT — a position where consecutive alignment clusters overlap by
+    # fewer than this many bp (no alignment spans it) — is SPLIT-MAPPED
+    # (io/geometry.py split_mapped); a cut read that is NOT split is a clean
+    # spanning read and its bridge is accepted. 0 disables detection — every
+    # cut-read pair is then refused-and-blocked (conservative; also the
+    # fallback for pre-round-4 graph artifacts).
+    split_read_margin: int = 100
 
     # --- rescue rounds (walk/rescue.py) ---
     # after conflict resolution, re-walk still-free walkable contig ends at
@@ -152,7 +159,7 @@ class ScaffoldConfig:
             if not 0.0 <= v <= 10.0:
                 raise ValueError(f"{f}={v} out of range")
         for f in ("min_overlap", "max_overhang", "mc_walks_per_end",
-                  "rescue_rounds", "rescue_walks_per_end"):
+                  "rescue_rounds", "rescue_walks_per_end", "split_read_margin"):
             if getattr(self, f) < 0:
                 raise ValueError(f"{f} must be >= 0")
         if self.rescue_rounds > 63:

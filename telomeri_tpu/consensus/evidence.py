@@ -35,8 +35,28 @@ def interior_reads(nodes_row: np.ndarray, steps_i: int,
 
 def read_diversity_gate(
     rows: list[dict], cons, walks, virtual_base: int, mesh=None,
+    split_read: np.ndarray | None = None,
 ) -> tuple[list[dict], list[dict]]:
-    """Filter compress() bridge rows by the empty-cut-read-intersection rule.
+    """Filter compress() bridge rows by the cut-read rule with split-read
+    discrimination.
+
+    A pair with a CUT read (one read on every distinct path) is single-point
+    evidence. Round 4 resolves it by the read's MAPPING GEOMETRY
+    (io/geometry.py split_mapped): a chimeric read is split-mapped (disjoint
+    alignment clusters — the aligner's own chimera signature), while a clean
+    spanning read maps as one contiguous cluster. So:
+
+      - cut reads exist, at least one is CLEAN  -> keep (a contiguous read
+        really spans the junction; a chimera cannot produce a clean cut read
+        for a fake junction — a clean read connecting the two loci would mean
+        the loci ARE adjacent);
+      - cut reads exist, ALL split-mapped (or no split info) -> BLOCK.
+
+    Blocked rows are NOT discarded: the caller must pass them to
+    scaffold.bridge.resolve_with_blockers, where they claim their ends in
+    support order without stitching — measured on hg002-sub at 1000 walks/end,
+    silently dropping a refused 389-walk true pair let a 2-walk read-diverse
+    wrong-copy bridge claim its ends (a misjoin).
 
     rows: consensus/compress() dicts (already min_support-filtered).
     cons: the ConsensusResult they came from (win_distinct must be present).
@@ -44,7 +64,9 @@ def read_diversity_gate(
         device-resident walk-sharded arrays (pass mesh; rows are fetched via
         the stitch-stage collective, so multi-process >HBM runs work — the
         round-3 rescue stage crashed exactly here, ADVICE r3 item 1).
-    Returns (kept_rows, dropped_rows); dropped rows carry their cut read ids.
+    split_read: (n_seqs,) bool from GraphTensors.split_read; None (e.g. a
+        pre-round-4 graph artifact) treats every cut read as suspect.
+    Returns (kept_rows, blocked_rows); both carry cut-read diagnostics.
     """
     if not rows:
         return rows, []
@@ -69,7 +91,7 @@ def read_diversity_gate(
         readsets.setdefault(pair, []).append(
             interior_reads(nodes[r], int(steps[r]), virtual_base))
 
-    kept, dropped = [], []
+    kept, blocked = [], []
     for row in rows:
         sets = readsets.get(tuple(row["pair"]))
         if not sets:  # defensively keep: a valid row always has flagged members
@@ -78,12 +100,24 @@ def read_diversity_gate(
             kept.append(row)
             continue
         cut = frozenset.intersection(*sets)
-        if cut:
-            log.info(
-                "consensus: pair %s has %d distinct paths but cut read(s) %s "
-                "— single-point evidence, refused (chimera-indistinguishable)",
-                row["pair"], row["count"], sorted(cut))
-            dropped.append(dict(row, cut_reads=sorted(cut)))
-        else:
+        if not cut:
             kept.append(row)
-    return kept, dropped
+            continue
+        clean = ([] if split_read is None
+                 else [r for r in cut if not bool(split_read[r])])
+        if clean:
+            log.info(
+                "consensus: pair %s hangs on cut read(s) %s but %s map(s) "
+                "contiguously (not split) — clean spanning read, accepted",
+                row["pair"], sorted(cut), sorted(clean))
+            kept.append(dict(row, cut_reads=sorted(cut)))
+        else:
+            log.info(
+                "consensus: pair %s has %d distinct paths but cut read(s) %s, "
+                "all %s — single-point evidence, refused; ends will be "
+                "blocked, not freed",
+                row["pair"], row.get("distinct", row["count"]), sorted(cut),
+                "split-mapped (chimera signature)" if split_read is not None
+                else "of unknown mapping (no split info)")
+            blocked.append(dict(row, cut_reads=sorted(cut)))
+    return kept, blocked

@@ -25,19 +25,27 @@ Normative rules (deterministic, host-count-invariant — SURVEY.md §7):
      break to the smaller walk uid.
   6. A pair yields a bridge only if the winning group holds >= min_group_support
      SUPPORT units. Two support modes (ScaffoldConfig.support_mode):
-       - "read_diverse" (default since round 4): support = number of DISTINCT
-         paths in the group, where a path's identity is (path_len, canonical
-         interior signature) — see path_signature. Walk COUNT is density-inflated
-         (doubling mc_walks_per_end doubles every count, real or chimeric), so it
-         cannot gate safely at high walk density; distinct-path support is
-         density-INVARIANT: more walks can only discover new paths, never inflate
-         existing ones (the rescue-round argument, walk/rescue.py round 3, now
-         normative for the base round). Group population for rule 4 is also the
-         distinct count in this mode. The companion cut-read gate
-         (consensus/evidence.py) additionally refuses a pair whose distinct
-         paths all share one read.
-       - "walk_count": raw successful-walk count (rounds 1-3 behavior; only
-         sound at low, comparable densities).
+       - "read_diverse" (default since round 4): the EVIDENCE GATE counts
+         DISTINCT paths in the winning group, where a path's identity is
+         (path_len, canonical interior signature) — see path_signature. Walk
+         COUNT is density-inflated (doubling mc_walks_per_end doubles every
+         count, real or chimeric), so it cannot GATE safely at high walk
+         density; distinct-path support is density-INVARIANT: more walks can
+         only discover new paths, never inflate existing ones (the
+         rescue-round argument, walk/rescue.py round 3, now normative for the
+         base round). The companion cut-read gate (consensus/evidence.py)
+         additionally refuses a pair whose distinct paths all share one read.
+         Rules 4 (winner group) and the conflict-resolution ORDERING
+         (bridge.py rule 1) still use the RAW walk count: count is the
+         sampling-probability signal — within one run every pair runs at the
+         same density, and the shortest/highest-score TRUE path draws more
+         walks than any wrong-copy alternative. Measured on hg002-sub at
+         1000 walks/end: ordering by DISTINCT count instead let two
+         diversity-rich wrong-copy webs (389- and 873-walk true pairs beaten
+         by many-distinct-path fakes) claim ends — diversity is evidence of
+         READ support, not of being the RIGHT bridge.
+       - "walk_count": raw successful-walk count everywhere (rounds 1-3
+         behavior; only sound at low, comparable densities).
 
 ConsensusResult.bucket reports the winning group's key: its minimal path length
 (windowed) or its bucket index (fixed).
@@ -85,10 +93,13 @@ class ConsensusResult(NamedTuple):
     valid: jax.Array      # (W,) bool
     pair_a: jax.Array     # (W,) int32 canonical start anchor-end
     pair_b: jax.Array     # (W,) int32 canonical terminal anchor-end
-    count: jax.Array      # (W,) int32 winning-group support
+    count: jax.Array      # (W,) int32 winning-group RAW walk count
     bucket: jax.Array     # (W,) int32 winning length bucket
     rep_uid: jax.Array    # (W,) int32 representative walk uid
     rep_score: jax.Array  # (W,) f32 representative walk score_sum
+    # (W,) int32 winning-group DISTINCT-path count (the rule-6 gate unit in
+    # "read_diverse" mode); None in "walk_count" mode
+    distinct: jax.Array | None = None
     # (W,) bool in ORIGINAL WALK ORDER (not segment order like the fields above):
     # marks one walk per distinct path of each min_support-passing winning group —
     # the rows the cut-read gate (consensus/evidence.py) must inspect. None in
@@ -190,6 +201,7 @@ def group_and_select(
         return ConsensusResult(
             valid=jnp.zeros(0, bool), pair_a=zi, pair_b=zi, count=zi, bucket=zi,
             rep_uid=zi, rep_score=jnp.zeros(0, jnp.float32),
+            distinct=zi if diverse else None,
             win_distinct=jnp.zeros(0, bool) if diverse else None)
 
     a = s.start.astype(jnp.int32)
@@ -240,16 +252,18 @@ def group_and_select(
     smax_seg = lambda v: jax.ops.segment_max(v, seg_id, num_segments=w)
 
     if diverse:
-        # support unit = distinct (path_len, sig): the first row of each
+        # gate unit = distinct (path_len, sig): the first row of each
         # duplicate run inside its segment counts, the rest are re-samples of
         # the same physical path (rule 6 "read_diverse")
         sig_s = s.sig[order]
         plen_s = plen[order]
         distinct_first = seg_first | neq(plen_s) | neq(sig_s)
         unit_s = valid_s & distinct_first
+        seg_distinct = ssum(unit_s.astype(jnp.int32))
     else:
         unit_s = valid_s
-    seg_count = ssum(unit_s.astype(jnp.int32))
+        seg_distinct = None
+    seg_count = ssum(valid_s.astype(jnp.int32))   # RAW count: rules 1 + 4
     seg_pair = smax_seg(jnp.where(valid_s, pair_id, -1))          # pair id of each segment
     # group key for reporting + rule-4 tie-break: bucket index (fixed) or the
     # group's MINIMAL path length (windowed; = first sorted member). Both are
@@ -274,7 +288,9 @@ def group_and_select(
     rep_uid = jax.ops.segment_min(
         jnp.where(best_pos, uid_s, _I32MAX), seg_id, num_segments=w)
 
-    out_valid = seg_is_winner & (seg_count >= min_support)        # rule 6
+    # rule 6: the gate unit is the distinct-path count in read_diverse mode
+    gate = seg_distinct if diverse else seg_count
+    out_valid = seg_is_winner & (gate >= min_support)
     if diverse:
         # one flag per distinct path of each min_support-passing winning group,
         # scattered back to ORIGINAL walk order for the cut-read gate
@@ -290,6 +306,7 @@ def group_and_select(
         bucket=seg_bucket,
         rep_uid=rep_uid,
         rep_score=smax.astype(jnp.float32),
+        distinct=seg_distinct,
         win_distinct=win_distinct,
     )
 
@@ -355,24 +372,30 @@ def consensus_oracle(
                     cur_key = li            # group's min length
                 buckets.setdefault(cur_key, []).append(i)
                 prev_len = li
-        bk = min(buckets, key=lambda k: (-n_units(buckets[k]), k))
+        # rule 4 winner by RAW count; rule 6 gate by distinct units
+        bk = min(buckets, key=lambda k: (-len(buckets[k]), k))
         walks = buckets[bk]
         if n_units(walks) < min_support:
             continue
         rep = min(walks, key=lambda i: (-score[i], uid[i]))
-        out.append(dict(pair=(a, b), count=n_units(walks), bucket=bk,
-                        rep_uid=int(uid[rep]), rep_score=float(score[rep])))
+        row = dict(pair=(a, b), count=len(walks), bucket=bk,
+                   rep_uid=int(uid[rep]), rep_score=float(score[rep]))
+        if diverse:
+            row["distinct"] = n_units(walks)
+        out.append(row)
     return out
 
 
 def compress(c: ConsensusResult) -> list[dict]:
     """Host-side: valid rows of a ConsensusResult as a sorted list of bridge dicts."""
     c = c.to_numpy()
-    rows = [
-        dict(pair=(int(c.pair_a[i]), int(c.pair_b[i])), count=int(c.count[i]),
-             bucket=int(c.bucket[i]), rep_uid=int(c.rep_uid[i]),
-             rep_score=float(c.rep_score[i]))
-        for i in np.flatnonzero(c.valid)
-    ]
+    rows = []
+    for i in np.flatnonzero(c.valid):
+        row = dict(pair=(int(c.pair_a[i]), int(c.pair_b[i])),
+                   count=int(c.count[i]), bucket=int(c.bucket[i]),
+                   rep_uid=int(c.rep_uid[i]), rep_score=float(c.rep_score[i]))
+        if c.distinct is not None:
+            row["distinct"] = int(c.distinct[i])
+        rows.append(row)
     rows.sort(key=lambda r: r["pair"])
     return rows

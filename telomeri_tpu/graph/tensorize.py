@@ -79,6 +79,11 @@ class GraphTensors:
     # the FULL row and kills on revisit (cycle kill), so the per-step distribution
     # never changes.
     cumw: np.ndarray = None      # (N, K) int32
+    # (n_seqs,) bool: split-mapped (chimera-suspect) sequences
+    # (io/geometry.py split_mapped; consumed by the cut-read gate). None when
+    # loaded from a pre-round-4 artifact — the gate then falls back to treating
+    # every cut read as suspect (conservative).
+    split_read: np.ndarray = None
 
     @property
     def n_nodes(self) -> int:

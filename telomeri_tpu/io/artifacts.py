@@ -33,7 +33,10 @@ _GRAPH_FIELDS = ("nbr", "es", "os_", "adv", "eid", "deg", "seq_len",
                  # is byte-equal to the freshly-built one (its int32 overflow guard
                  # runs at tensorize time only); absent in older artifacts, where
                  # the engine recomputes it
-                 "cumw")
+                 "cumw",
+                 # round 4: split-mapped (chimera-suspect) flags for the cut-read
+                 # gate; absent in older artifacts -> gate falls back conservative
+                 "split_read")
 _PLAN_FIELDS = ("start", "first_edge", "mode", "uid", "active")
 _WALK_FIELDS = ("nodes", "eids", "steps", "success", "terminal", "path_len",
                 "score_sum")

@@ -137,6 +137,54 @@ def overlap_geometry(paf: PafRecords) -> dict[str, np.ndarray]:
     }
 
 
+def split_mapped(paf: PafRecords, n_seqs: int, min_overlap: int = 100) -> np.ndarray:
+    """(n_seqs,) bool: sequences whose PAF alignments carry a chimera-signature
+    BREAKPOINT — an interior position no alignment spans.
+
+    A chimeric (split) read is two concatenated segments from unrelated loci,
+    so its alignments tile it in two clusters that MEET at the junction: left-
+    cluster intervals end at ~p, right-cluster intervals start at ~p, and no
+    single alignment crosses p (no other sequence contains that concatenation).
+    A clean read's overlapping neighbours produce intervals that genuinely
+    OVERLAP each other through every interior point. Detection: sweep each
+    sequence's intervals (query AND target roles) in start order; a breakpoint
+    exists where the next interval overlaps the running reach of all earlier
+    intervals by FEWER than min_overlap bp, at an interior position (both
+    sides have >= 2*min_overlap of mapped sequence). End-jitter trims are
+    tens of bp, real overlap lengths hundreds-thousands, so min_overlap=100
+    separates them; a clean read in a coverage dip can false-flag, which is
+    conservative (its junction gets blocked, never misjoined).
+
+    The cut-read gate (consensus/evidence.py) uses this to tell a clean
+    single-spanning-read junction (accept) from a chimera-fabricated one
+    (refuse) — round 3 refused BOTH as indistinguishable; the mapping geometry
+    distinguishes them. Malformed rows (rule 0) are excluded: garbage
+    coordinates must not flag an innocent read as split."""
+    ok = ~malformed_mask(paf)
+    ids = np.concatenate([paf.qid[ok], paf.tid[ok]]).astype(np.int64)
+    starts = np.concatenate([paf.qstart[ok], paf.tstart[ok]]).astype(np.int64)
+    ends = np.concatenate([paf.qend[ok], paf.tend[ok]]).astype(np.int64)
+    lens = np.concatenate([paf.qlen[ok], paf.tlen[ok]]).astype(np.int64)
+    split = np.zeros(n_seqs, bool)
+    if not len(ids):
+        return split
+    order = np.lexsort((starts, ids))
+    ids, starts, ends, lens = ids[order], starts[order], ends[order], lens[order]
+    first = np.concatenate([[True], ids[1:] != ids[:-1]])
+    # running max of interval ends within each id segment (offset trick: make
+    # the cummax monotone across segments by adding a per-segment offset)
+    seg = np.cumsum(first) - 1
+    off = (seg + 1) * (int(ends.max()) + 1)
+    run = np.maximum.accumulate(ends + off) - off
+    prev_run = np.concatenate([[0], run[:-1]])
+    brk = (~first
+           & (starts > prev_run - min_overlap)          # crossing overlap < m
+           & (prev_run >= 2 * min_overlap)              # left side substantial
+           & (starts <= lens - 2 * min_overlap))        # right side interior
+    np.logical_or.at(split, ids[brk], True)
+    return split
+
+
 def build_edges(
     paf: PafRecords, cfg: ScaffoldConfig, n_seqs: int
 ) -> tuple[EdgeSoA, FilterStats]:

@@ -19,7 +19,7 @@ from telomeri_tpu.graph.tensorize import GraphTensors, tensorize
 from telomeri_tpu.io.fasta import SequenceSet, read_fasta, write_fasta
 from telomeri_tpu.io.geometry import EdgeSoA, build_edges
 from telomeri_tpu.io.paf import PafRecords, parse_paf
-from telomeri_tpu.scaffold.bridge import resolve_conflicts
+from telomeri_tpu.scaffold.bridge import resolve_with_blockers
 from telomeri_tpu.scaffold.stitch import Scaffold, Stitcher, emit_scaffolds, extract_path
 from telomeri_tpu.utils.logging import Metrics, log
 from telomeri_tpu.walk.engine import WalkResult, run_walks_host
@@ -107,6 +107,12 @@ def build_graph(contigs: SequenceSet, reads: SequenceSet, paf: PafRecords,
         seq_len = np.concatenate([
             contigs.lengths, reads.lengths]) if n_seqs else np.empty(0, np.int64)
         graph = tensorize(edges, seq_len, len(contigs), cfg)
+        if cfg.split_read_margin > 0:
+            from telomeri_tpu.io.geometry import split_mapped
+
+            graph.split_read = split_mapped(
+                paf, n_seqs, min_overlap=cfg.split_read_margin)
+            metrics.set("n_split_reads", int(graph.split_read.sum()))
     metrics.set("graph", graph.stats)
     return edges, graph
 
@@ -278,19 +284,26 @@ def run_pipeline(
     metrics.set("n_bridges_candidate", len(bridges))
 
     # cut-read gate (consensus/evidence.py): a bridge whose distinct paths all
-    # share one read is single-point evidence — chimera-indistinguishable
+    # share one read is single-point evidence; split-read mapping geometry
+    # tells clean spanning reads (accept) from chimera suspects (block)
+    blocked_rows: list = []
     if cfg.support_mode == "read_diverse":
         with metrics.stage("cut_read_gate"):
-            bridges, cut_refused = read_diversity_gate(
-                bridges, cons, walks, graph.virtual_base, mesh=mesh)
-        metrics.set("n_bridges_cut_refused", len(cut_refused))
-        if cut_refused:
+            bridges, blocked_rows = read_diversity_gate(
+                bridges, cons, walks, graph.virtual_base, mesh=mesh,
+                split_read=graph.split_read)
+        metrics.set("n_bridges_cut_refused", len(blocked_rows))
+        metrics.set("n_bridges_cut_clean",
+                    sum(1 for r in bridges if "cut_reads" in r))
+        if blocked_rows:
             log.info("cut-read gate: %d candidate bridge(s) refused on "
-                     "single-point evidence", len(cut_refused))
+                     "single-point evidence (their winning ends stay blocked)",
+                     len(blocked_rows))
 
     with metrics.stage("resolve_conflicts"):
-        accepted = resolve_conflicts(bridges)
+        accepted, blocked_ends = resolve_with_blockers(bridges, blocked_rows)
     metrics.set("n_bridges_accepted", len(accepted))
+    metrics.set("n_ends_blocked", len(blocked_ends))
     log.info("bridges: %d candidates, %d accepted", len(bridges), len(accepted))
 
     # rescue rounds (walk/rescue.py): dense re-walks of still-free walkable
@@ -302,7 +315,7 @@ def run_pipeline(
 
         rescue_gd = None   # replicated-path device tables, uploaded ONCE
         for ri in range(cfg.rescue_rounds):
-            if not free_walkable_ends(graph, accepted):
+            if not free_walkable_ends(graph, accepted, blocked_ends):
                 break
             if rescue_gd is None and resolved_placement != "rowshard":
                 from telomeri_tpu.walk.engine import graph_to_device
@@ -316,9 +329,9 @@ def run_pipeline(
             key = f"rescue_walks:R{ri}"
             with metrics.stage(f"rescue_round_{ri}"), \
                     DispatchWatch(metrics).watch(key):
-                new, paths_ri = run_rescue_round(
+                new, paths_ri, blocked_ends = run_rescue_round(
                     graph, cfg, accepted, ri, gd=rescue_gd, mesh=mesh,
-                    placement=resolved_placement)
+                    placement=resolved_placement, blocked_ends=blocked_ends)
             if not new:
                 break
             accepted = accepted + new

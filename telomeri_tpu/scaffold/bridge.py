@@ -61,16 +61,37 @@ def make_bridge(row: dict) -> Bridge:
 
 def resolve_conflicts(rows: list[dict],
                       pre_accepted: list[Bridge] | None = None) -> list[Bridge]:
+    """Greedy accept per rules 1-4 (see resolve_with_blockers)."""
+    accepted, _ = resolve_with_blockers(rows, [], pre_accepted=pre_accepted)
+    return accepted
+
+
+def resolve_with_blockers(
+    rows: list[dict], blockers: list[dict],
+    pre_accepted: list[Bridge] | None = None,
+    pre_blocked: set[End] | frozenset = frozenset(),
+) -> tuple[list[Bridge], set[End]]:
     """Greedy accept per rules 1-4. Input rows are consensus/compress() dicts.
 
-    pre_accepted seeds the used-end set and scaffold union-find with bridges
-    already accepted by an earlier pass (rescue rounds, walk/rescue.py): the
-    new rows can only claim still-free ends and never flip a prior decision.
-    Returns only the NEWLY accepted bridges."""
-    bridges = [make_bridge(r) for r in rows]
-    bridges.sort(key=lambda b: (-b.count, -b.rep_score, b.pair))
+    blockers (round 4): cut-read-gate-refused rows. They compete in the SAME
+    rule-1 order but, when they win an end, they only CLAIM it (no bridge, no
+    chain join). Why: a refused junction is still that end's best-supported
+    adjacency hypothesis — leaving its ends free let weaker wrong-copy
+    bridges claim them (measured misjoins on hg002-sub; consensus/evidence.py
+    docstring). A blocker claims each of its ends that is still free,
+    independently, and never joins the union-find.
 
-    used: set[End] = set()
+    pre_accepted seeds the used-end set and scaffold union-find with bridges
+    already accepted by an earlier pass (rescue rounds, walk/rescue.py);
+    pre_blocked seeds blocker-claimed ends from an earlier pass. New rows can
+    only claim still-free ends and never flip a prior decision.
+    Returns (newly_accepted, all_blocked_ends)."""
+    ranked = ([(make_bridge(r), False) for r in rows]
+              + [(make_bridge(r), True) for r in blockers])
+    ranked.sort(key=lambda t: (-t[0].count, -t[0].rep_score, t[0].pair))
+
+    used: set[End] = set(pre_blocked)
+    blocked_ends: set[End] = set(pre_blocked)
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -85,7 +106,13 @@ def resolve_conflicts(rows: list[dict],
         parent[find(b.end_a.contig)] = find(b.end_b.contig)
 
     accepted = []
-    for b in bridges:
+    for b, is_blocker in ranked:
+        if is_blocker:
+            for e in (b.end_a, b.end_b):
+                if e not in used:
+                    used.add(e)
+                    blocked_ends.add(e)
+            continue
         if b.end_a == b.end_b:
             continue  # rule 3: inversion self-loop
         if b.end_a in used or b.end_b in used:
@@ -97,4 +124,4 @@ def resolve_conflicts(rows: list[dict],
         used.add(b.end_a)
         used.add(b.end_b)
         accepted.append(b)
-    return accepted
+    return accepted, blocked_ends

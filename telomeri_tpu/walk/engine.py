@@ -320,8 +320,31 @@ def _mc_fast_core(
 
     _, (nxt_t, tot_t, eid_t, adv_t, es_t) = jax.lax.scan(
         step, p.start, all_bits, unroll=4)
-    nxts = jnp.transpose(nxt_t)                        # (W, S - s0) dest per step
-    totals = jnp.transpose(tot_t)                      # (W, S - s0)
+    return _resolve_mc_events(
+        p, jnp.transpose(nxt_t), jnp.transpose(tot_t), jnp.transpose(eid_t),
+        jnp.transpose(adv_t), jnp.transpose(es_t), prior_nodes, prior_eids,
+        prior_adv, prior_es, n_nodes=n_nodes, n_anchors=n_anchors,
+        max_steps=max_steps, s0=s0, extras=extras)
+
+
+def _resolve_mc_events(
+    p: PlanDev, nxts, totals, eids_new, adv_new, es_bits_new,
+    prior_nodes, prior_eids, prior_adv, prior_es, *,
+    n_nodes: int, n_anchors, max_steps: int, s0: int, extras: bool,
+):
+    """Post-hoc MC event resolution over (W, S - s0) per-step records.
+
+    Shared by the lax.scan engine (_mc_fast_core) and the VMEM-resident Pallas
+    scan (kernels/walk_vmem.py): both stream out the same per-step
+    (nxt, total, eid, adv, es_bits) records; the first event — dead row,
+    revisit (cycle kill), or anchor hit — is found here with vectorized
+    masking, identically for either producer."""
+    w = p.start.shape[0]
+    n_new = max_steps - s0
+    anchor_lim = 2 * jnp.asarray(n_anchors, jnp.int32)
+    eid_t = jnp.transpose(eids_new)    # the code below keeps the historical
+    adv_t = jnp.transpose(adv_new)     # (S - s0, W) names for these
+    es_t = jnp.transpose(es_bits_new)
 
     # post-hoc event resolution (all (W, S)-vectorized, no serial dependence) in
     # ABSOLUTE step indices: the walk's node sequence is [start, .. prior .., new
@@ -391,38 +414,18 @@ def _mc_fast_core(
     return res
 
 
-@functools.partial(jax.jit, static_argnames=("max_steps",))
-def _mc_phase1(
-    g: GraphDev, p: PlanDev, seed, *, n_anchors, max_steps: int
-):
-    """Phase-1 of the phased MC path: the plain fast scan, plus the raw per-step
-    (adv, es) extras a continuation needs as its prior, plus the unresolved mask
-    BIT-PACKED into uint32 words — the phased driver's host sync then moves W/8
-    bytes instead of three W-element arrays (a ~50x smaller transfer; the sync
-    is the entire overhead of phasing on a remote-tunneled device link)."""
-    r1, ext1 = _mc_fast_core(
-        lambda cur: g.wide[cur], int(g.wide.shape[0]), g.h, p, seed,
-        n_anchors=n_anchors, max_steps=max_steps, extras=True)
-    unresolved = p.active & ~r1.success & (r1.steps == max_steps)
-    w = unresolved.shape[0]
-    n_pad = -w % 32
-    u = jnp.pad(unresolved, (0, n_pad)).reshape(-1, 32).astype(jnp.uint32)
-    packed = jnp.sum(u << jax.lax.broadcasted_iota(jnp.uint32, u.shape, 1),
-                     axis=1, dtype=jnp.uint32)
-    return r1, ext1, packed
-
-
-@functools.partial(jax.jit, static_argnames=("max_steps", "s1"))
-def _mc_phase2(
+def _phase2_body(
     g: GraphDev, r1: WalkResult, ext1, uid, idx, seed, *, n_anchors,
     max_steps: int, s1: int,
 ) -> WalkResult:
-    """Continue + scatter-back for the phased MC path (run_walks_mc_phased).
+    """Continue + scatter-back for the phased MC path.
 
     idx: (W2,) int32 rows of r1 that were UNRESOLVED at step s1 (-1 pads to the
-    shape bucket). One dispatch: gather the prior records, scan absolute steps
-    s1..max_steps-1 via the continuation core, and scatter the finished rows back
-    over a column-padded copy of r1 (pad rows land on a dummy row W, sliced off)."""
+    shape bucket; W2 is a static width). Gather the prior records, scan
+    absolute steps s1..max_steps-1 via the continuation core, and scatter the
+    finished rows back over a column-padded copy of r1 (pad rows land on a
+    dummy row W, sliced off). Traced inline by both the host-sync path
+    (_mc_phase2) and the fused on-device-compaction path (_mc_phased_fused)."""
     w = r1.steps.shape[0]
     ok = idx >= 0
     ix = jnp.maximum(idx, 0)
@@ -450,6 +453,57 @@ def _mc_phase2(
         score_sum=scat(r1.score_sum[:, None], r2.score_sum[:, None])[:, 0])
 
 
+_mc_phase2 = functools.partial(jax.jit, static_argnames=("max_steps", "s1"))(
+    functools.wraps(_phase2_body)(
+        lambda g, r1, ext1, uid, idx, seed, *, n_anchors, max_steps, s1:
+        _phase2_body(g, r1, ext1, uid, idx, seed, n_anchors=n_anchors,
+                     max_steps=max_steps, s1=s1)))
+
+
+@functools.partial(jax.jit, static_argnames=("max_steps", "s1", "w2"))
+def _mc_phased_fused(
+    g: GraphDev, p: PlanDev, seed, *, n_anchors, max_steps: int, s1: int,
+    w2: int,
+) -> WalkResult:
+    """Phase-1 + ON-DEVICE compaction + phase-2 + scatter in ONE dispatch.
+
+    Round 4 (VERDICT r3 next-#4): the round-2 phased scan paid one
+    device->host sync for the unresolved row ids, which costs ~300-400 ms on
+    a remote-tunneled device link and ate the ~1.8x device-time win
+    (BASELINE.md two-phase analysis). Here the unresolved rows are compacted
+    on device into a FIXED w2-row continuation batch with
+    jnp.nonzero(size=w2) — a static shape, so the whole program jits as one
+    dispatch and no host round-trip exists anywhere.
+
+    Overflow safety: if more than w2 rows are unresolved (atypical: 62% of
+    bench walks resolve within 8 steps, and w2 defaults to W/2),
+    lax.cond falls back to a FULL-WIDTH continuation whose inactive rows are
+    the resolved ones — bit-identical semantics either way, just without the
+    compaction saving. No walk is ever dropped.
+    """
+    r1, ext1 = _mc_fast_core(
+        lambda cur: g.wide[cur], int(g.wide.shape[0]), g.h, p, seed,
+        n_anchors=n_anchors, max_steps=s1, extras=True)
+    unresolved = p.active & ~r1.success & (r1.steps == s1)
+    n_unres = jnp.sum(unresolved.astype(jnp.int32))
+    w = p.start.shape[0]
+
+    def compact(_):
+        idx = jnp.nonzero(unresolved, size=w2, fill_value=-1)[0].astype(jnp.int32)
+        # nonzero's fill is the row VALUE at fill positions; with fill_value=-1
+        # pads come back as -1 and _phase2_body treats them as inactive
+        return _phase2_body(g, r1, ext1, p.uid, idx, seed, n_anchors=n_anchors,
+                            max_steps=max_steps, s1=s1)
+
+    def full(_):
+        idx = jnp.where(unresolved, jnp.arange(w, dtype=jnp.int32),
+                        jnp.int32(-1))
+        return _phase2_body(g, r1, ext1, p.uid, idx, seed, n_anchors=n_anchors,
+                            max_steps=max_steps, s1=s1)
+
+    return jax.lax.cond(n_unres <= w2, compact, full, None)
+
+
 def run_walks_mc_phased(
     g: GraphDev, p: PlanDev, seed, *, n_anchors, max_steps: int, s1: int,
 ) -> WalkResult:
@@ -457,30 +511,24 @@ def run_walks_mc_phased(
     walks with no event yet (typically a small minority — BASELINE.md measured
     62% of bench walks resolving within 8 steps). Bit-identical to the one-phase
     engine (the draw stream is a stable prefix; tests/test_walk.py), at ~the
-    slot-step ratio fewer gathered rows: W*s1 + U*(S-s1) vs W*S. Costs one extra
-    dispatch + one host sync for the unresolved count (shape-bucketed, so the
-    continuation program is compile-cached); worth it for large batches where
-    the scan is bandwidth- not latency-bound (BASELINE.md walk roofline)."""
+    slot-step ratio fewer gathered rows: W*s1 + w2*(S-s1) vs W*S.
+
+    Round 4: compaction happens ON DEVICE inside one fused dispatch
+    (_mc_phased_fused) — the round-2/3 implementation synced a bit-packed
+    unresolved mask to the host between the phases, and that single sync cost
+    ~300-400 ms through the axon tunnel, more than the device time it saved
+    (BASELINE.md). The continuation width w2 is the W/2 shape bucket; a
+    rarer-than-w2 overflow falls back in-program to a full-width continuation
+    (lax.cond), never dropping a walk."""
     from telomeri_tpu.utils.shapes import bucket_len
 
     if not (0 < s1 < max_steps):
         return _run_walks_mc_fast(g, p, seed, n_anchors=n_anchors,
                                   max_steps=max_steps)
-    r1, ext1, packed = _mc_phase1(g, p, seed, n_anchors=n_anchors, max_steps=s1)
-    # unresolved = active, ran to the phase bound, no event (an event at step
-    # s1-1 yields steps < s1 or success); ONE host sync of W/8 packed bytes
-    pk = np.asarray(packed)
-    bits = (pk[:, None] >> np.arange(32, dtype=np.uint32)) & 1
-    idx = np.flatnonzero(bits.reshape(-1)[:p.start.shape[0]]).astype(np.int32)
-    if idx.size == 0:
-        pad_cols = lambda a, n, fill: jnp.concatenate(
-            [a, jnp.full((a.shape[0], n - a.shape[1]), fill, a.dtype)], axis=1)
-        return r1._replace(nodes=pad_cols(r1.nodes, max_steps + 1, -1),
-                           eids=pad_cols(r1.eids, max_steps, -1))
-    w2 = bucket_len(idx.size, 8)
-    idx = np.pad(idx, (0, w2 - idx.size), constant_values=-1)
-    return _mc_phase2(g, r1, ext1, p.uid, jax.device_put(idx), seed,
-                      n_anchors=n_anchors, max_steps=max_steps, s1=s1)
+    w = p.start.shape[0]
+    w2 = min(w, bucket_len(max(w // 2, 1), 8))
+    return _mc_phased_fused(g, p, seed, n_anchors=n_anchors,
+                            max_steps=max_steps, s1=s1, w2=w2)
 
 
 @functools.partial(jax.jit, static_argnames=("max_steps", "kind"))

@@ -32,7 +32,7 @@ from telomeri_tpu.config import ScaffoldConfig
 from telomeri_tpu.consensus.evidence import read_diversity_gate
 from telomeri_tpu.consensus.grouping import compress, group_and_select, summarize
 from telomeri_tpu.graph.tensorize import GraphTensors
-from telomeri_tpu.scaffold.bridge import Bridge, resolve_conflicts
+from telomeri_tpu.scaffold.bridge import Bridge, resolve_with_blockers
 from telomeri_tpu.utils.logging import log
 from telomeri_tpu.walk.plan import MODE_MC, WalkPlan
 
@@ -41,11 +41,15 @@ MAX_RESCUE_WALKS = 1 << 20  # hard batch cap: many free ends -> fewer walks/end,
 #                             then a truncated end list (never an unbounded w)
 
 
-def free_walkable_ends(graph: GraphTensors, accepted: list[Bridge]) -> list[int]:
+def free_walkable_ends(graph: GraphTensors, accepted: list[Bridge],
+                       blocked_ends=frozenset()) -> list[int]:
     """Oriented start nodes of contig ends that are (a) not used by an accepted
-    bridge and (b) walkable (out-degree > 0; genome-boundary ends have 0)."""
+    bridge, (b) not claimed by a cut-read blocker (bridge.py
+    resolve_with_blockers), and (c) walkable (out-degree > 0; genome-boundary
+    ends have 0)."""
     used = {(b.end_a.contig, b.end_a.right) for b in accepted}
     used |= {(b.end_b.contig, b.end_b.right) for b in accepted}
+    used |= {(e.contig, e.right) for e in blocked_ends}
     deg = np.asarray(graph.deg)
     out = []
     for c in range(graph.n_anchors):
@@ -94,20 +98,23 @@ def build_rescue_plan(
 def run_rescue_round(
     graph: GraphTensors, cfg: ScaffoldConfig, accepted: list[Bridge],
     round_ix: int = 0, gd=None, mesh=None, placement: str = "replicated",
+    blocked_ends=frozenset(),
 ):
-    """One rescue round. Returns (new_bridges, paths) where paths maps each new
-    bridge's rep_uid to its (nodes, eids) for the stitcher, or ([], {}) when
-    nothing qualified. placement="rowshard" routes the walks through the
-    row-sharded engine (>HBM graphs; byte-identical records), keeping pipeline
-    output placement-invariant."""
+    """One rescue round. Returns (new_bridges, paths, blocked_ends') where
+    paths maps each new bridge's rep_uid to its (nodes, eids) for the
+    stitcher and blocked_ends' extends the caller's cut-read-blocked end set
+    with this round's blockers; ([], {}, blocked_ends) when nothing
+    qualified. placement="rowshard" routes the walks through the row-sharded
+    engine (>HBM graphs; byte-identical records), keeping pipeline output
+    placement-invariant."""
     import jax
 
     from telomeri_tpu.scaffold.stitch import extract_path
     from telomeri_tpu.walk.engine import graph_to_device, run_walks_sectioned
 
-    ends = free_walkable_ends(graph, accepted)
+    ends = free_walkable_ends(graph, accepted, blocked_ends)
     if not ends:
-        return [], {}
+        return [], {}, blocked_ends
     plan, uid0 = build_rescue_plan(
         ends, cfg, round_ix, mesh_size=mesh.size if mesh is not None else 1)
     if placement == "rowshard":
@@ -145,11 +152,13 @@ def run_rescue_round(
         min_support=cfg.min_group_support, grouping=cfg.grouping,
         support="read_diverse")
     rows = compress(cons)
-    rows, _dropped = read_diversity_gate(
-        rows, cons, res, graph.virtual_base, mesh=mesh)
-    new = resolve_conflicts(rows, pre_accepted=accepted)
+    rows, blocked_rows = read_diversity_gate(
+        rows, cons, res, graph.virtual_base, mesh=mesh,
+        split_read=graph.split_read)
+    new, blocked_ends = resolve_with_blockers(
+        rows, blocked_rows, pre_accepted=accepted, pre_blocked=blocked_ends)
     if not new:
-        return [], {}
+        return [], {}, blocked_ends
 
     # fetch ONLY the representative rows for the stitcher (rescue uids are
     # row-aligned: uid = uid0 + row). Under a multi-process mesh the sharded
@@ -170,4 +179,4 @@ def run_rescue_round(
                                 virtual_base=graph.virtual_base)
         for i, b in enumerate(new)
     }
-    return new, paths
+    return new, paths, blocked_ends

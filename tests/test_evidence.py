@@ -86,14 +86,19 @@ def test_signature_ignores_virtual_hops():
 
 
 def test_distinct_path_support_collapses_duplicates():
-    """50 re-samples of one path are ONE support unit; density cannot inflate
-    support (the round-4 invariant)."""
+    """50 re-samples of one path are ONE gate unit; density cannot inflate the
+    rule-6 evidence gate (the round-4 invariant). The reported count stays the
+    RAW walk count — the rule-1/4 ordering signal (see grouping.py rule 6:
+    ordering by distinct count let diversity-rich wrong-copy webs win on
+    hg002-sub)."""
     rows = [(0, (10, 12), 2, True, 500, 1.0)] * 50
     cons, out = run_rd(mk_walks(rows), min_support=2)
     assert out == []                       # 1 distinct path < min_support 2
     rows.append((0, (14, 16), 2, True, 520, 2.0))
     cons, out = run_rd(mk_walks(rows), min_support=2)
-    assert len(out) == 1 and out[0]["count"] == 2
+    assert len(out) == 1
+    assert out[0]["count"] == 51           # raw walks (ordering signal)
+    assert out[0]["distinct"] == 2         # distinct paths (gate unit)
     # win_distinct flags exactly one row per distinct path, in walk order
     wd = np.asarray(cons.win_distinct)
     assert wd.sum() == 2
@@ -222,3 +227,83 @@ def test_config_support_mode_validation():
         ScaffoldConfig(support_mode="bogus")
     assert dataclasses.replace(
         ScaffoldConfig(), support_mode="walk_count").support_mode == "walk_count"
+
+
+def test_split_mapped_breakpoint_detection():
+    """io/geometry.py split_mapped: a read whose alignment intervals meet at
+    an unspanned interior breakpoint is flagged; clean tiling is not."""
+    from telomeri_tpu.io.geometry import split_mapped
+    from telomeri_tpu.io.paf import PafRecords
+
+    def mk(rows):
+        a = np.array(rows, np.int64)
+        return PafRecords(
+            qid=a[:, 0].astype(np.int32), qlen=a[:, 1].astype(np.int32),
+            qstart=a[:, 2].astype(np.int32), qend=a[:, 3].astype(np.int32),
+            strand=a[:, 4].astype(np.int8), tid=a[:, 5].astype(np.int32),
+            tlen=a[:, 6].astype(np.int32), tstart=a[:, 7].astype(np.int32),
+            tend=a[:, 8].astype(np.int32), nmatch=a[:, 9].astype(np.int32),
+            blocklen=a[:, 10].astype(np.int32))
+
+    # read 0 (len 3000): chimera — left cluster ends ~1500, right starts ~1500,
+    # nothing crosses. read 3: clean — intervals overlap deeply through it.
+    rows = [
+        (0, 3000, 0, 1480, 0, 1, 5000, 0, 1480, 1400, 1480),
+        (0, 3000, 1520, 3000, 0, 2, 5000, 0, 1480, 1400, 1480),
+        (3, 3000, 0, 2000, 0, 4, 5000, 0, 2000, 1900, 2000),
+        (3, 3000, 1200, 3000, 0, 5, 5000, 0, 1800, 1700, 1800),
+    ]
+    flags = split_mapped(mk(rows), 6, min_overlap=100)
+    assert flags[0] and not flags[3]
+    # intervals touching exactly (overlap 0 < margin) also flag
+    rows2 = [
+        (0, 3000, 0, 1500, 0, 1, 5000, 0, 1500, 1400, 1500),
+        (0, 3000, 1500, 3000, 0, 2, 5000, 0, 1500, 1400, 1500),
+    ]
+    assert split_mapped(mk(rows2), 3, min_overlap=100)[0]
+    # malformed rows never flag a read
+    rows3 = [(0, 3000, 0, 9000, 0, 1, 5000, 0, 1500, 1400, 1500)]
+    assert not split_mapped(mk(rows3), 3, min_overlap=100).any()
+
+
+def test_cut_read_gate_clean_spanning_read_accepted():
+    """A cut read that is NOT split-mapped is a clean spanning read: the
+    bridge is accepted (round 3 refused it as chimera-indistinguishable; the
+    mapping geometry distinguishes them)."""
+    walks = mk_walks([
+        (0, (10, 20), 2, True, 500, 1.0),
+        (0, (12, 20), 2, True, 510, 2.0),   # cut read 10 (node 20//2)
+    ])
+    cons, rows = run_rd(walks, min_support=2)
+    split = np.zeros(30, bool)
+    kept, blocked = read_diversity_gate(rows, cons, walks, VB, split_read=split)
+    assert len(kept) == 1 and not blocked
+    assert kept[0]["cut_reads"] == [10]
+    # same pair with the cut read split-mapped: blocked
+    split[10] = True
+    kept, blocked = read_diversity_gate(rows, cons, walks, VB, split_read=split)
+    assert not kept and len(blocked) == 1
+    # no split info at all: conservative block
+    kept, blocked = read_diversity_gate(rows, cons, walks, VB, split_read=None)
+    assert not kept and len(blocked) == 1
+
+
+def test_blockers_claim_ends_in_order():
+    """bridge.resolve_with_blockers: a refused (blocked) pair claims its ends
+    at its support rank, so a weaker bridge cannot take them; blocked ends
+    seed later rounds via pre_blocked."""
+    from telomeri_tpu.scaffold.bridge import End, resolve_with_blockers
+
+    strong_blocked = dict(pair=(0, 2), count=100, rep_score=9.0, rep_uid=1)
+    weak_wrong = dict(pair=(0, 6), count=3, rep_score=5.0, rep_uid=2)
+    other = dict(pair=(4, 6), count=10, rep_score=5.0, rep_uid=3)
+    acc, blocked_ends = resolve_with_blockers(
+        [weak_wrong, other], [strong_blocked])
+    pairs = {b.pair for b in acc}
+    assert (0, 6) not in pairs          # end 0R blocked by the refused pair
+    assert (4, 6) in pairs
+    assert End(0, True) in blocked_ends and End(1, False) in blocked_ends
+    # pre_blocked seeds the next round's used set
+    acc2, be2 = resolve_with_blockers(
+        [weak_wrong], [], pre_blocked=blocked_ends)
+    assert not acc2 and be2 == blocked_ends

@@ -338,3 +338,59 @@ def test_phased_off_values():
                                   mc_phase_steps=v).to_numpy()
         for a, b in zip(one, got):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_phased_overflow_falls_back_full_width(rng):
+    """Round 4 fused compaction: when MORE rows are unresolved than the w2
+    continuation bucket, the in-program lax.cond falls back to the full-width
+    continuation — bit-identical, no walk dropped. Forced by calling the fused
+    program with a tiny w2."""
+    from telomeri_tpu.walk.engine import (
+        _mc_phased_fused,
+        plan_to_device,
+        run_walks_sectioned,
+    )
+
+    g = random_graph(rng)
+    cfg = ScaffoldConfig(mc_walks_per_end=16, max_steps=10)
+    p = plan_walks(g, cfg)
+    gd = graph_to_device(g)
+    one = run_walks_sectioned(gd, p, 7, n_anchors=g.n_anchors,
+                              max_steps=10).to_numpy()
+    lo, hi = p.sections["mc"]
+    from telomeri_tpu.walk.engine import _slice_plan
+
+    pd = plan_to_device(_slice_plan(p, lo, hi))
+    fused = _mc_phased_fused(gd, pd, 7, n_anchors=g.n_anchors, max_steps=10,
+                             s1=2, w2=8).to_numpy()     # w2 far below unresolved
+    for f, a, b in zip(one._fields, one, fused):
+        np.testing.assert_array_equal(
+            np.asarray(a)[lo:hi], np.asarray(b), err_msg=f)
+
+
+@pytest.mark.parametrize("strategy", ["take", "loop"])
+def test_vmem_pallas_scan_parity(rng, strategy):
+    """VMEM-resident Pallas walk scan (kernels/walk_vmem.py): bitwise-identical
+    WalkResult to the production engine on the same MC plan (interpret mode on
+    CPU; the TPU lowering/perf probe is tools/vmem_probe.py)."""
+    from telomeri_tpu.kernels.walk_vmem import run_walks_mc_vmem
+    from telomeri_tpu.walk.engine import (
+        _run_walks_mc_fast,
+        _slice_plan,
+        plan_to_device,
+        run_walks_sectioned,
+    )
+
+    g = random_graph(rng)
+    cfg = ScaffoldConfig(mc_walks_per_end=16, max_steps=10)
+    p = plan_walks(g, cfg)
+    gd = graph_to_device(g)
+    lo, hi = p.sections["mc"]
+    pd = plan_to_device(_slice_plan(p, lo, hi))
+    ref = _run_walks_mc_fast(gd, pd, 7, n_anchors=g.n_anchors,
+                             max_steps=10).to_numpy()
+    got = run_walks_mc_vmem(gd, pd, 7, n_anchors=g.n_anchors, max_steps=10,
+                            tile=64, strategy=strategy,
+                            interpret=True).to_numpy()
+    for f, a, b in zip(ref._fields, ref, got):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=f)
