@@ -51,7 +51,7 @@ def diagnose(rundir: str, out=sys.stdout):
         compress, group_and_select, summarize)
     from telomeri_tpu.io.artifacts import load_graph, load_walks
     from telomeri_tpu.scaffold.bridge import (
-        End, make_bridge, resolve_conflicts, start_end, terminal_end)
+        End, make_bridge, resolve_with_blockers, start_end, terminal_end)
 
     cfgp = [f for f in os.listdir(rundir) if f.endswith(".config.json")]
     cfg = (ScaffoldConfig.from_json(open(os.path.join(rundir, cfgp[0])).read())
@@ -66,11 +66,14 @@ def diagnose(rundir: str, out=sys.stdout):
         min_support=cfg.min_group_support, grouping=cfg.grouping,
         support=cfg.support_mode).to_numpy()
     rows = compress(cons)
+    blocked_rows = []
     if cfg.support_mode == "read_diverse":
         from telomeri_tpu.consensus.evidence import read_diversity_gate
 
-        rows, _ = read_diversity_gate(rows, cons, walks, graph.virtual_base)
-    accepted = resolve_conflicts(rows)
+        rows, blocked_rows = read_diversity_gate(
+            rows, cons, walks, graph.virtual_base,
+            split_read=graph.split_read)
+    accepted, _blocked_ends = resolve_with_blockers(rows, blocked_rows)
     acc_pairs = {b.pair for b in accepted}
     end_owner: dict[End, tuple[int, int]] = {}
     for b in accepted:
