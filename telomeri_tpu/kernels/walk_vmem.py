@@ -19,10 +19,17 @@ results are BITWISE equal to the production engine (tested in interpret mode
 on CPU and on TPU by tools/vmem_probe.py).
 
 Gather strategies (the crux — Pallas has no documented vectorized gather):
-  - "take":  jnp.take(table_value, cur, axis=0) inside the kernel; relies on
-             Mosaic lowering a per-lane gather from VMEM. Fastest if it lowers.
+  - "take":  jnp.take(table_value, cur, axis=0) inside the kernel; measured on
+             TPU v5e (2026-08-21): Mosaic REJECTS it — its gather lowering
+             requires input, indices, and output to share a shape ("Shape
+             mismatch in input, indices and output").
+  - "dyng":  jnp.take_along_axis with indices broadcast to the TABLE's shape
+             and the walk tile forced equal to the table row count — the one
+             form Mosaic's dynamic-gather rule accepts (same-shape gather
+             along the sublane dim).
   - "loop":  jax.lax.fori_loop over the walk tile, one dynamic row slice per
-             walk per step — guaranteed to lower, serializes on the VPU.
+             walk per step through VMEM scratch refs (value-level
+             dynamic_slice is unimplemented in Mosaic); serializes on the VPU.
 """
 
 from __future__ import annotations
@@ -53,42 +60,62 @@ def vmem_feasible(g: GraphDev) -> bool:
 
 def _walk_kernel(bits_ref, start_ref, tbl_ref,
                  nxt_ref, tot_ref, eid_ref, adv_ref, es_ref,
+                 cur_ref, rows_ref,
                  *, h: int, max_steps: int, strategy: str):
     wt = start_ref.shape[0]
     tbl = tbl_ref[:]                                   # (N, 6H) resident value
     lane = jax.lax.broadcasted_iota(jnp.int32, (wt, h), 1)
 
     def fetch(cur):
+        """-> (nbr, cum, eid, adv, es_bits) blocks, each (Wt, H)."""
         if strategy == "take":
-            return jnp.take(tbl, cur, axis=0)          # (Wt, 6H)
-        # "loop": one dynamic row slice per walk (guaranteed lowering)
-        def one(i, acc):
-            row = tbl_ref[pl.ds(cur[i], 1), :]         # (1, 6H)
-            return jax.lax.dynamic_update_slice(acc, row, (i, 0))
-        return jax.lax.fori_loop(
-            0, wt, one, jnp.zeros((wt, 6 * h), jnp.int32))
+            rows = jnp.take(tbl, cur, axis=0)          # (Wt, 6H)
+            return tuple(rows[:, k * h:(k + 1) * h] for k in range(5))
+        if strategy == "dyng":
+            # Mosaic's gather rule wants input/indices/output SAME-shape:
+            # wt == table rows (enforced by the wrapper), indices broadcast
+            # across one H-block at a time (a full-row index would be a
+            # 50 MB VMEM value at table scale)
+            idx = jnp.broadcast_to(cur[:, None], (wt, h))
+            return tuple(
+                jnp.take_along_axis(tbl[:, k * h:(k + 1) * h], idx, axis=0)
+                for k in range(5))
+        # "loop": one dynamic row slice per walk, ref-to-ref through VMEM
+        # scratch (value-level dynamic_slice does not lower in Mosaic)
+        cur_ref[:, 0] = cur
 
-    def step(s, cur):
-        rows = fetch(cur)
-        cum_rows = rows[:, h:2 * h]
-        total = cum_rows[:, -1]
+        def one(i, _):
+            rows_ref[pl.ds(i, 1), :] = tbl_ref[pl.ds(cur_ref[i, 0], 1), :]
+            return 0
+        jax.lax.fori_loop(0, wt, one, 0)
+        rows = rows_ref[:]
+        return tuple(rows[:, k * h:(k + 1) * h] for k in range(5))
+
+    # PYTHON-unrolled step loop: a traced step index would need dynamic
+    # lane-dim indexing of bits/output refs, which Mosaic does not lower
+    # (measured: "Unimplemented ... dynamic_slice"); max_steps is static and
+    # small (<= 64), so full unroll is the supported form.
+    cur = start_ref[:, 0]
+    for s in range(max_steps):
+        nbr_b, cum_b, eid_b, adv_b, es_b = fetch(cur)
+        # integer VALUE indexing (cum_b[:, -1]) lowers through dynamic_slice,
+        # which Mosaic does not implement — static slice + squeeze does
+        total = jnp.squeeze(jax.lax.slice_in_dim(cum_b, h - 1, h, axis=1), 1)
         bits = bits_ref[:, s]
         r = (bits & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32) % jnp.maximum(
             total, 1)
         choice = jnp.minimum(
-            jnp.sum((cum_rows <= r[:, None]).astype(jnp.int32), axis=1), h - 1
+            jnp.sum((cum_b <= r[:, None]).astype(jnp.int32), axis=1), h - 1
         ).astype(jnp.int32)
         sel = lane == choice[:, None]
         pick = lambda a: jnp.sum(jnp.where(sel, a, 0), axis=1)
-        nxt = pick(rows[:, :h])
-        nxt_ref[:, pl.ds(s, 1)] = nxt[:, None]
-        tot_ref[:, pl.ds(s, 1)] = total[:, None]
-        eid_ref[:, pl.ds(s, 1)] = pick(rows[:, 2 * h:3 * h])[:, None]
-        adv_ref[:, pl.ds(s, 1)] = pick(rows[:, 3 * h:4 * h])[:, None]
-        es_ref[:, pl.ds(s, 1)] = pick(rows[:, 4 * h:5 * h])[:, None]
-        return jnp.where(nxt >= 0, nxt, cur)
-
-    jax.lax.fori_loop(0, max_steps, step, start_ref[:, 0])
+        nxt = pick(nbr_b)
+        nxt_ref[:, s] = nxt
+        tot_ref[:, s] = total
+        eid_ref[:, s] = pick(eid_b)
+        adv_ref[:, s] = pick(adv_b)
+        es_ref[:, s] = pick(es_b)
+        cur = jnp.where(nxt >= 0, nxt, cur)
 
 
 @functools.partial(
@@ -118,6 +145,13 @@ def _vmem_scan(g: GraphDev, start, bits_t, *, max_steps: int, tile: int,
         ],
         out_shape=[jax.ShapeDtypeStruct((w, max_steps), jnp.int32)
                    for _ in range(5)],
+        scratch_shapes=([
+            pltpu.VMEM((tile, 1), jnp.int32),       # cur (loop strategy)
+            pltpu.VMEM((tile, 6 * h), jnp.int32),   # gathered rows scratch
+        ] if strategy == "loop" else [
+            pltpu.VMEM((8, 1), jnp.int32),          # unused placeholders
+            pltpu.VMEM((8, 128), jnp.int32),
+        ]),
         interpret=interpret,
     )(bits_t, start[:, None], g.wide)
     return out
@@ -136,6 +170,8 @@ def run_walks_mc_vmem(
         raise ValueError(
             f"table {g.wide.size * 4 / 2**20:.1f} MiB exceeds the "
             f"{MAX_TABLE_BYTES / 2**20:.0f} MiB VMEM budget")
+    if strategy == "dyng":
+        tile = int(g.wide.shape[0])   # same-shape gather: tile == table rows
     w = p.start.shape[0]
     pad = -w % tile
     start = jnp.pad(p.start, (0, pad))

@@ -368,7 +368,7 @@ def test_phased_overflow_falls_back_full_width(rng):
             np.asarray(a)[lo:hi], np.asarray(b), err_msg=f)
 
 
-@pytest.mark.parametrize("strategy", ["take", "loop"])
+@pytest.mark.parametrize("strategy", ["take", "dyng", "loop"])
 def test_vmem_pallas_scan_parity(rng, strategy):
     """VMEM-resident Pallas walk scan (kernels/walk_vmem.py): bitwise-identical
     WalkResult to the production engine on the same MC plan (interpret mode on

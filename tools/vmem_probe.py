@@ -71,8 +71,8 @@ def main():
             f"engine W={w}")
         ref = ref.to_numpy()
 
-        for strategy in ("take", "loop"):
-            for tile in tiles:
+        for strategy in ("dyng", "take", "loop"):
+            for tile in (tiles[:1] if strategy == "dyng" else tiles):
                 label = f"vmem[{strategy},tile={tile}] W={w}"
                 try:
                     got, dt = timed(
