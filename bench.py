@@ -27,7 +27,7 @@ warmup compile; amortized burst. Host ingest excluded. Secondary metrics on stde
 
 Env knobs: BENCH_SCALE, BENCH_REPEATS, BENCH_MC_WALKS (small-batch MC/end, default
 4096 -> ~49.6k walks), BENCH_PEAK_MC_WALKS (peak MC/end, default 131072 -> 1.57M
-walks; 0 disables the peak stage), BENCH_BUDGET_S, BENCH_PHASE.
+walks; 0 disables the peak stage), BENCH_BUDGET_S.
 """
 
 from __future__ import annotations
@@ -97,12 +97,8 @@ def bench_walks(cfg, graph, plan, repeats: int):
 
     gd = graph_to_device(graph)
     sections = prepare_plan_sections(plan)   # plan upload once, not per call
-    # two-phase MC scan (walk/engine.py run_walks_mc_phased): bit-identical,
-    # continues only unresolved walks past step BENCH_PHASE. 0 disables.
-    phase = int(os.environ.get("BENCH_PHASE", str(cfg.mc_phase_steps)))
     run = lambda seed: run_walks_prepared(
-        gd, sections, seed, n_anchors=graph.n_anchors, max_steps=cfg.max_steps,
-        mc_phase_steps=phase)
+        gd, sections, seed, n_anchors=graph.n_anchors, max_steps=cfg.max_steps)
     t0 = time.perf_counter()
     res = run(cfg.mc_seed)
     n_succ = int(np.asarray(res.success).sum())   # forces full materialization

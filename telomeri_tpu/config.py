@@ -84,15 +84,10 @@ class ScaffoldConfig:
     mc_walks_per_end: int = 1000
     max_steps: int = 32            # fixed walk length bound (nodes beyond the start anchor)
     mc_seed: int = 0               # base PRNG seed; per-walk streams via fold_in(walk_uid)
-    # two-phase MC scan: run this many steps for every walk, then continue only
-    # the still-unresolved ones to max_steps (walk/engine.py run_walks_mc_phased;
-    # bit-identical output — the draw stream is a stable prefix). 0 = one phase.
-    # Most walks resolve within ~8 steps, so 8 cuts the gathered-row count ~2x on
-    # large batches — but the scheme pays ONE device->host sync, which costs
-    # ~300-400 ms on a remote-tunneled device link (measured, BASELINE.md) vs ~us
-    # on a locally-attached host. Default off; enable on local-host deployments
-    # with big walk batches. Single-process path only; ignored under --mesh.
-    mc_phase_steps: int = 0
+    # (a two-phase MC scan knob, mc_phase_steps, existed rounds 2-4; its final
+    # fully-on-device form still measured slower than the one-phase scan on
+    # every graph class, so the machinery was removed — BASELINE.md
+    # "Two-phase MC scan" records the numbers. from_json drops the old key.)
 
     # --- path grouping / consensus ---
     # "windowed" (HERA sparse-region split: sorted path lengths split where
@@ -151,9 +146,6 @@ class ScaffoldConfig:
             raise ValueError(
                 f"graph_placement must be auto/replicated/rowshard, "
                 f"got {self.graph_placement!r}")
-        if self.mc_phase_steps < 0:
-            raise ValueError(
-                f"mc_phase_steps must be >= 0, got {self.mc_phase_steps}")
         for f in ("min_identity", "max_overhang_ratio"):
             v = getattr(self, f)
             if not 0.0 <= v <= 10.0:
@@ -178,7 +170,17 @@ class ScaffoldConfig:
 
     @staticmethod
     def from_json(s: str) -> "ScaffoldConfig":
-        return ScaffoldConfig(**json.loads(s))
+        """Tolerant load: unknown keys (fields from other framework versions,
+        e.g. the removed mc_phase_steps) are dropped with a warning so saved
+        configs and artifact headers stay loadable across versions."""
+        d = json.loads(s)
+        known = {f.name for f in dataclasses.fields(ScaffoldConfig)}
+        unknown = sorted(set(d) - known)
+        if unknown:
+            from telomeri_tpu.utils.logging import log
+
+            log.warning("config: dropping unknown field(s) %s", unknown)
+        return ScaffoldConfig(**{k: v for k, v in d.items() if k in known})
 
 
 DEFAULT_CONFIG = ScaffoldConfig()

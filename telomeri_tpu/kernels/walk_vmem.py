@@ -181,10 +181,7 @@ def run_walks_mc_vmem(
         g, start, bits_t, max_steps=max_steps, tile=tile, strategy=strategy,
         interpret=interpret)
     cut = lambda a: a[:w]
-    prior_nodes = p.start[:, None]
-    z = lambda dt: jnp.zeros((w, 0), dt)
     return _resolve_mc_events(
         p, cut(nxt), cut(tot), cut(eid), cut(adv), cut(es),
-        prior_nodes, z(jnp.int32), z(jnp.int32), z(jnp.float32),
         n_nodes=int(g.wide.shape[0]), n_anchors=n_anchors,
-        max_steps=max_steps, s0=0, extras=False)
+        max_steps=max_steps)

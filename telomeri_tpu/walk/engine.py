@@ -247,8 +247,7 @@ def _run_walks_mc_fast(
 
 def _mc_fast_core(
     fetch_rows, n_nodes: int, h: int, p: PlanDev, seed, *, n_anchors,
-    max_steps: int, s0: int = 0, prior: tuple | None = None,
-    extras: bool = False,
+    max_steps: int,
 ):
     """Historyless MC scan + post-hoc event resolution (the 97%-of-batch hot path).
 
@@ -265,39 +264,25 @@ def _mc_fast_core(
     streams out through scan's stacked outputs (contiguous writes). Walks run PAST
     their terminal event; the first event — dead row (total <= 0), revisit (cycle
     kill), or anchor hit — is found afterwards with vectorized masking over the
-    (W, S) records, and everything beyond it is masked off. Removing the in-scan
-    visited carry ((W, S+1) dynamic-update-slice + revisit compare per serial step)
-    measured ~2x on v5e; folding the attrs into the row gather (vs a separate
-    (W, S) recon gather) a further 1.23x. Event precedence matches the in-scan
-    engine bit-for-bit: dead/revisit kill before an anchor hit at the same step
-    counts (tests/test_walk.py sectioned≡mixed, engine≡oracle).
+    (W, S) records (_resolve_mc_events), and everything beyond it is masked off.
+    Removing the in-scan visited carry ((W, S+1) dynamic-update-slice + revisit
+    compare per serial step) measured ~2x on v5e; folding the attrs into the row
+    gather (vs a separate (W, S) recon gather) a further 1.23x. Event precedence
+    matches the in-scan engine bit-for-bit: dead/revisit kill before an anchor
+    hit at the same step counts (tests/test_walk.py sectioned≡mixed,
+    engine≡oracle).
 
-    CONTINUATION (s0 > 0, the phased fast path — run_walks_mc_phased): resume
-    walks that had NO event in their first s0 steps. prior = (nodes (W, s0+1)
-    [start..node after step s0-1], eids (W, s0), adv_steps (W, s0), es_steps
-    (W, s0) — the RAW per-step attrs from the phase-1 extras); p.start must be
-    prior nodes[:, -1]. The scan covers absolute steps s0..max_steps-1, the
-    resolution runs in ABSOLUTE step indices, and the path_len/score_sum reduces
-    run over the RECOMPOSED full-length (W, S) step arrays — the same extent and
-    grouping as a one-phase run, so even the f32 score_sum rounding matches.
-    Because the per-walk draw stream is a stable prefix (_stable_bits_table) and
-    the prior prefix is event-free by construction, the result is bit-identical
-    to a single full-length run of the same walks (tests/test_walk.py phased
-    parity).
-
-    extras=True additionally returns the raw (W, S - s0) per-step (adv, es)
-    arrays (what a continuation needs as prior): returns (WalkResult, extras)."""
+    (A TWO-PHASE variant — scan s1 steps for all walks, continue only the
+    unresolved — existed rounds 2-4. Its final, fully-on-device form
+    (jnp.nonzero compaction + lax.cond fallback, zero host syncs) still
+    measured SLOWER than this one-phase scan everywhere: 0.81x at the 1.57M
+    peak batch on the cache-friendly bench graph (compaction + scatter-back
+    overhead exceeds the cheap saved gathers) and 0.87-0.90x on a worst-case
+    6.3M-node random graph (few early events -> overflow branch = pure
+    overhead). Removed per the measurement; BASELINE.md records the numbers.)"""
     w = p.start.shape[0]
-    n_new = max_steps - s0
     anchor_lim = 2 * jnp.asarray(n_anchors, jnp.int32)
-    all_bits = _stable_bits_table(seed, p.uid, max_steps)[s0:]  # (S - s0, W)
-    if prior is None:
-        prior_nodes = p.start[:, None]                          # (W, 1)
-        prior_eids = jnp.zeros((w, 0), jnp.int32)
-        prior_adv = jnp.zeros((w, 0), jnp.int32)
-        prior_es = jnp.zeros((w, 0), jnp.float32)
-    else:
-        prior_nodes, prior_eids, prior_adv, prior_es = prior
+    all_bits = _stable_bits_table(seed, p.uid, max_steps)       # (S, W)
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (w, h), 1)
 
@@ -322,17 +307,15 @@ def _mc_fast_core(
         step, p.start, all_bits, unroll=4)
     return _resolve_mc_events(
         p, jnp.transpose(nxt_t), jnp.transpose(tot_t), jnp.transpose(eid_t),
-        jnp.transpose(adv_t), jnp.transpose(es_t), prior_nodes, prior_eids,
-        prior_adv, prior_es, n_nodes=n_nodes, n_anchors=n_anchors,
-        max_steps=max_steps, s0=s0, extras=extras)
+        jnp.transpose(adv_t), jnp.transpose(es_t), n_nodes=n_nodes,
+        n_anchors=n_anchors, max_steps=max_steps)
 
 
 def _resolve_mc_events(
-    p: PlanDev, nxts, totals, eids_new, adv_new, es_bits_new,
-    prior_nodes, prior_eids, prior_adv, prior_es, *,
-    n_nodes: int, n_anchors, max_steps: int, s0: int, extras: bool,
+    p: PlanDev, nxts, totals, eids_new, adv_new, es_bits_new, *,
+    n_nodes: int, n_anchors, max_steps: int,
 ):
-    """Post-hoc MC event resolution over (W, S - s0) per-step records.
+    """Post-hoc MC event resolution over (W, S) per-step records.
 
     Shared by the lax.scan engine (_mc_fast_core) and the VMEM-resident Pallas
     scan (kernels/walk_vmem.py): both stream out the same per-step
@@ -340,28 +323,25 @@ def _resolve_mc_events(
     revisit (cycle kill), or anchor hit — is found here with vectorized
     masking, identically for either producer."""
     w = p.start.shape[0]
-    n_new = max_steps - s0
     anchor_lim = 2 * jnp.asarray(n_anchors, jnp.int32)
-    eid_t = jnp.transpose(eids_new)    # the code below keeps the historical
-    adv_t = jnp.transpose(adv_new)     # (S - s0, W) names for these
-    es_t = jnp.transpose(es_bits_new)
+    eids_steps = eids_new                              # (W, S) per-step records
+    adv_steps = adv_new
+    es_steps = jax.lax.bitcast_convert_type(es_bits_new, jnp.float32)
 
-    # post-hoc event resolution (all (W, S)-vectorized, no serial dependence) in
-    # ABSOLUTE step indices: the walk's node sequence is [start, .. prior .., new
-    # nxts]; for steps before the first event it matches the in-scan engine's
-    # visited list exactly
-    seq = jnp.concatenate([prior_nodes, nxts], axis=1)             # (W, S+1)
-    steps_i = jax.lax.broadcasted_iota(jnp.int32, (w, n_new), 1) + s0
+    # post-hoc event resolution (all (W, S)-vectorized, no serial dependence):
+    # the walk's node sequence is [start, ..new nxts]; for steps before the
+    # first event it matches the in-scan engine's visited list exactly
+    seq = jnp.concatenate([p.start[:, None], nxts], axis=1)        # (W, S+1)
+    steps_i = jax.lax.broadcasted_iota(jnp.int32, (w, max_steps), 1)
     big = jnp.int32(max_steps + 1)
     first_true = lambda m: jnp.min(jnp.where(m, steps_i, big), axis=1)  # (W,)
-    # revisit: nxt_t equals any EARLIER sequence entry. Pack (node, seq idx) into
-    # one int32 and SORT each walk's sequence: duplicates land adjacent, and the
-    # larger of an adjacent-equal pair carries the kill index. O(S log^2 S)
-    # bitonic sort beats the O(S^2) pairwise broadcast ~5x at S=32 on v5e.
-    # Entries from steps after t_dead are -1 (dead rows): they only duplicate each
-    # other, at indices > t_dead, so t_kill's min() is unaffected. A continuation
-    # prior prefix is duplicate-free (no event), so the scan over the full seq
-    # still finds the first NEW revisit.
+    # revisit: a step's destination equals any EARLIER sequence entry. Pack
+    # (node, seq idx) into one int32 and SORT each walk's sequence: duplicates
+    # land adjacent, and the larger of an adjacent-equal pair carries the kill
+    # index. O(S log^2 S) bitonic sort beats the O(S^2) pairwise broadcast ~5x
+    # at S=32 on v5e. Entries from steps after t_dead are -1 (dead rows): they
+    # only duplicate each other, at indices > t_dead, so t_kill's min() is
+    # unaffected.
     mult = 64
     while mult < max_steps + 1:
         mult *= 2
@@ -373,11 +353,10 @@ def _resolve_mc_events(
         # seq idx t+1 duplicates an earlier entry <=> step t stepped onto a revisit
         t_rev = jnp.min(jnp.where(adj_eq, later, big + 1), axis=1) - 1
     else:  # node*mult would overflow int32 (> ~33M oriented nodes): pairwise path
-        # step i (absolute s0+i, writing seq index s0+i+1) revisits seq index j
-        # iff j <= s0+i
-        tri = (jax.lax.broadcasted_iota(jnp.int32, (n_new, max_steps + 1), 1)
-               <= jax.lax.broadcasted_iota(jnp.int32, (n_new, max_steps + 1), 0) + s0)
-        dup = ((nxts[:, :, None] == seq[:, None, :]) & tri[None]).any(-1)  # (W, S-s0)
+        # step i (writing seq index i+1) revisits seq index j iff j <= i
+        tri = (jax.lax.broadcasted_iota(jnp.int32, (max_steps, max_steps + 1), 1)
+               <= jax.lax.broadcasted_iota(jnp.int32, (max_steps, max_steps + 1), 0))
+        dup = ((nxts[:, :, None] == seq[:, None, :]) & tri[None]).any(-1)  # (W, S)
         t_rev = first_true(dup)
     t_dead = first_true(totals <= 0)
     t_kill = jnp.minimum(jnp.where(p.active, big, 0), jnp.minimum(t_rev, t_dead))
@@ -386,149 +365,16 @@ def _resolve_mc_events(
     n_taken = jnp.where(success, t_anchor + 1, jnp.minimum(t_kill, max_steps))
     terminal = jnp.where(
         success, jnp.take_along_axis(
-            nxts, jnp.clip(t_anchor - s0, 0, n_new - 1)[:, None], 1)[:, 0], -1)
+            nxts, jnp.clip(t_anchor, 0, max_steps - 1)[:, None], 1)[:, 0], -1)
 
-    took = steps_i < n_taken[:, None]                  # (W, S - s0)
-    # the prior prefix is event-free, so its nodes/eids are all taken verbatim
-    nodes = jnp.concatenate([prior_nodes, jnp.where(took, nxts, -1)], axis=1)
-    eids = jnp.concatenate([prior_eids, jnp.where(took, jnp.transpose(eid_t), -1)],
-                           axis=1)
-    # path_len/score_sum reduce over the FULL-extent (W, S) step arrays with a
-    # full took mask, so one-phase and continuation use the identical reduce
-    # grouping (f32 sum rounding depends on it; the representative pick consumes
-    # score_sum — consensus/grouping.py rule 5)
-    adv_steps = jnp.transpose(adv_t)
-    es_steps = jax.lax.bitcast_convert_type(jnp.transpose(es_t), jnp.float32)
-    adv_full = jnp.concatenate([prior_adv, adv_steps], axis=1)     # (W, S)
-    es_full = jnp.concatenate([prior_es, es_steps], axis=1)
-    took_full = (jax.lax.broadcasted_iota(jnp.int32, (w, max_steps), 1)
-                 < n_taken[:, None])
-    path_len = jnp.sum(jnp.where(took_full, adv_full, 0), axis=1,
-                       dtype=jnp.int32)
-    score_sum = jnp.sum(jnp.where(took_full, es_full, 0.0), axis=1)
+    took = steps_i < n_taken[:, None]                  # (W, S)
+    nodes = jnp.concatenate([p.start[:, None], jnp.where(took, nxts, -1)], axis=1)
+    eids = jnp.where(took, eids_steps, -1)
+    path_len = jnp.sum(jnp.where(took, adv_steps, 0), axis=1, dtype=jnp.int32)
+    score_sum = jnp.sum(jnp.where(took, es_steps, 0.0), axis=1)
 
-    res = WalkResult(nodes=nodes, eids=eids, steps=n_taken, success=success,
-                     terminal=terminal, path_len=path_len, score_sum=score_sum)
-    if extras:
-        return res, (adv_steps, es_steps)
-    return res
-
-
-def _phase2_body(
-    g: GraphDev, r1: WalkResult, ext1, uid, idx, seed, *, n_anchors,
-    max_steps: int, s1: int,
-) -> WalkResult:
-    """Continue + scatter-back for the phased MC path.
-
-    idx: (W2,) int32 rows of r1 that were UNRESOLVED at step s1 (-1 pads to the
-    shape bucket; W2 is a static width). Gather the prior records, scan
-    absolute steps s1..max_steps-1 via the continuation core, and scatter the
-    finished rows back over a column-padded copy of r1 (pad rows land on a
-    dummy row W, sliced off). Traced inline by both the host-sync path
-    (_mc_phase2) and the fused on-device-compaction path (_mc_phased_fused)."""
-    w = r1.steps.shape[0]
-    ok = idx >= 0
-    ix = jnp.maximum(idx, 0)
-    adv1, es1 = ext1
-    prior_nodes = r1.nodes[ix]                         # (W2, s1+1)
-    prior = (prior_nodes, r1.eids[ix], adv1[ix], es1[ix])
-    p2 = PlanDev(start=prior_nodes[:, -1], first_edge=jnp.full_like(ix, -1),
-                 mode=jnp.full_like(ix, MODE_MC), uid=uid[ix], active=ok)
-    r2 = _mc_fast_core(
-        lambda cur: g.wide[cur], int(g.wide.shape[0]), g.h, p2, seed,
-        n_anchors=n_anchors, max_steps=max_steps, s0=s1, prior=prior)
-
-    pad_cols = lambda a, n, fill: jnp.concatenate(
-        [a, jnp.full((a.shape[0], n - a.shape[1]), fill, a.dtype)], axis=1)
-    sidx = jnp.where(ok, idx, w)                       # pads -> dummy row w
-    scat = lambda a, b: jnp.concatenate(
-        [a, jnp.zeros_like(a[:1])], axis=0).at[sidx].set(b)[:w]
-    return WalkResult(
-        nodes=scat(pad_cols(r1.nodes, max_steps + 1, -1), r2.nodes),
-        eids=scat(pad_cols(r1.eids, max_steps, -1), r2.eids),
-        steps=scat(r1.steps[:, None], r2.steps[:, None])[:, 0],
-        success=scat(r1.success[:, None], r2.success[:, None])[:, 0],
-        terminal=scat(r1.terminal[:, None], r2.terminal[:, None])[:, 0],
-        path_len=scat(r1.path_len[:, None], r2.path_len[:, None])[:, 0],
-        score_sum=scat(r1.score_sum[:, None], r2.score_sum[:, None])[:, 0])
-
-
-_mc_phase2 = functools.partial(jax.jit, static_argnames=("max_steps", "s1"))(
-    functools.wraps(_phase2_body)(
-        lambda g, r1, ext1, uid, idx, seed, *, n_anchors, max_steps, s1:
-        _phase2_body(g, r1, ext1, uid, idx, seed, n_anchors=n_anchors,
-                     max_steps=max_steps, s1=s1)))
-
-
-@functools.partial(jax.jit, static_argnames=("max_steps", "s1", "w2"))
-def _mc_phased_fused(
-    g: GraphDev, p: PlanDev, seed, *, n_anchors, max_steps: int, s1: int,
-    w2: int,
-) -> WalkResult:
-    """Phase-1 + ON-DEVICE compaction + phase-2 + scatter in ONE dispatch.
-
-    Round 4 (VERDICT r3 next-#4): the round-2 phased scan paid one
-    device->host sync for the unresolved row ids, which costs ~300-400 ms on
-    a remote-tunneled device link and ate the ~1.8x device-time win
-    (BASELINE.md two-phase analysis). Here the unresolved rows are compacted
-    on device into a FIXED w2-row continuation batch with
-    jnp.nonzero(size=w2) — a static shape, so the whole program jits as one
-    dispatch and no host round-trip exists anywhere.
-
-    Overflow safety: if more than w2 rows are unresolved (atypical: 62% of
-    bench walks resolve within 8 steps, and w2 defaults to W/2),
-    lax.cond falls back to a FULL-WIDTH continuation whose inactive rows are
-    the resolved ones — bit-identical semantics either way, just without the
-    compaction saving. No walk is ever dropped.
-    """
-    r1, ext1 = _mc_fast_core(
-        lambda cur: g.wide[cur], int(g.wide.shape[0]), g.h, p, seed,
-        n_anchors=n_anchors, max_steps=s1, extras=True)
-    unresolved = p.active & ~r1.success & (r1.steps == s1)
-    n_unres = jnp.sum(unresolved.astype(jnp.int32))
-    w = p.start.shape[0]
-
-    def compact(_):
-        idx = jnp.nonzero(unresolved, size=w2, fill_value=-1)[0].astype(jnp.int32)
-        # nonzero's fill is the row VALUE at fill positions; with fill_value=-1
-        # pads come back as -1 and _phase2_body treats them as inactive
-        return _phase2_body(g, r1, ext1, p.uid, idx, seed, n_anchors=n_anchors,
-                            max_steps=max_steps, s1=s1)
-
-    def full(_):
-        idx = jnp.where(unresolved, jnp.arange(w, dtype=jnp.int32),
-                        jnp.int32(-1))
-        return _phase2_body(g, r1, ext1, p.uid, idx, seed, n_anchors=n_anchors,
-                            max_steps=max_steps, s1=s1)
-
-    return jax.lax.cond(n_unres <= w2, compact, full, None)
-
-
-def run_walks_mc_phased(
-    g: GraphDev, p: PlanDev, seed, *, n_anchors, max_steps: int, s1: int,
-) -> WalkResult:
-    """Two-phase MC batch: scan s1 steps for everyone, then continue ONLY the
-    walks with no event yet (typically a small minority — BASELINE.md measured
-    62% of bench walks resolving within 8 steps). Bit-identical to the one-phase
-    engine (the draw stream is a stable prefix; tests/test_walk.py), at ~the
-    slot-step ratio fewer gathered rows: W*s1 + w2*(S-s1) vs W*S.
-
-    Round 4: compaction happens ON DEVICE inside one fused dispatch
-    (_mc_phased_fused) — the round-2/3 implementation synced a bit-packed
-    unresolved mask to the host between the phases, and that single sync cost
-    ~300-400 ms through the axon tunnel, more than the device time it saved
-    (BASELINE.md). The continuation width w2 is the W/2 shape bucket; a
-    rarer-than-w2 overflow falls back in-program to a full-width continuation
-    (lax.cond), never dropping a walk."""
-    from telomeri_tpu.utils.shapes import bucket_len
-
-    if not (0 < s1 < max_steps):
-        return _run_walks_mc_fast(g, p, seed, n_anchors=n_anchors,
-                                  max_steps=max_steps)
-    w = p.start.shape[0]
-    w2 = min(w, bucket_len(max(w // 2, 1), 8))
-    return _mc_phased_fused(g, p, seed, n_anchors=n_anchors,
-                            max_steps=max_steps, s1=s1, w2=w2)
+    return WalkResult(nodes=nodes, eids=eids, steps=n_taken, success=success,
+                      terminal=terminal, path_len=path_len, score_sum=score_sum)
 
 
 @functools.partial(jax.jit, static_argnames=("max_steps", "kind"))
@@ -749,33 +595,17 @@ def _run_walks_multi(
 
 def run_walks_prepared(
     g: GraphDev, sections: list[tuple[str, PlanDev]], seed, *,
-    n_anchors: int, max_steps: int, mc_phase_steps: int = 0,
+    n_anchors: int, max_steps: int,
 ) -> WalkResult:
     """Run device-resident plan sections (see prepare_plan_sections): one
     specialized scan per section, results concatenated back into plan row order.
     Bit-identical to run_walks on the same rows (same per-walk op order; uid-keyed
-    RNG). mc_phase_steps > 0 runs the MC section two-phase (run_walks_mc_phased;
-    still bit-identical) — single-device/GSPMD-free callers only, since it syncs
-    the unresolved mask to the host mid-flight."""
+    RNG)."""
     if not sections:  # graph with no walkable anchor ends
         z = lambda *shape: jnp.zeros(shape, jnp.int32)
         return WalkResult(nodes=z(0, max_steps + 1), eids=z(0, max_steps),
                           steps=z(0), success=jnp.zeros(0, bool), terminal=z(0),
                           path_len=z(0), score_sum=jnp.zeros(0, jnp.float32))
-    if 0 < mc_phase_steps < max_steps and any(k == "mc" for k, _ in sections):
-        parts = []
-        for kind, pd in sections:
-            if kind == "mc":
-                parts.append(run_walks_mc_phased(
-                    g, pd, seed, n_anchors=n_anchors, max_steps=max_steps,
-                    s1=mc_phase_steps))
-            else:
-                parts.append(_run_walks_kind(
-                    g, pd, seed, n_anchors=n_anchors, max_steps=max_steps,
-                    kind=kind))
-        if len(parts) == 1:
-            return parts[0]
-        return WalkResult(*[jnp.concatenate(a, axis=0) for a in zip(*parts)])
     return _run_walks_multi(
         g, tuple(pd for _, pd in sections), seed, n_anchors=n_anchors,
         max_steps=max_steps, kinds=tuple(kind for kind, _ in sections))
@@ -783,13 +613,12 @@ def run_walks_prepared(
 
 def run_walks_sectioned(
     g: GraphDev, plan: WalkPlan, seed, *, n_anchors: int, max_steps: int,
-    sharding=None, mc_phase_steps: int = 0,
+    sharding=None,
 ) -> WalkResult:
     """prepare_plan_sections + run_walks_prepared in one shot (single-run callers)."""
     return run_walks_prepared(
         g, prepare_plan_sections(plan, sharding), seed,
-        n_anchors=n_anchors, max_steps=max_steps,
-        mc_phase_steps=0 if sharding is not None else mc_phase_steps)
+        n_anchors=n_anchors, max_steps=max_steps)
 
 
 def run_walks_host(
@@ -799,6 +628,5 @@ def run_walks_host(
     res = run_walks_sectioned(
         graph_to_device(g), plan, cfg.mc_seed,
         n_anchors=g.n_anchors, max_steps=cfg.max_steps,
-        mc_phase_steps=cfg.mc_phase_steps,
     )
     return res.to_numpy()

@@ -287,87 +287,6 @@ def test_mc_stream_stable_across_max_steps():
     np.testing.assert_array_equal(r_small.nodes[idx, :s], r_big.nodes[idx, :s])
 
 
-@pytest.mark.parametrize("s1", [1, 3, 5, 9])
-def test_phased_equals_onephase(rng, s1):
-    """Two-phase MC execution (run_walks_mc_phased) is bit-identical to the
-    one-phase engine on every WalkResult field — the draw stream is a stable
-    prefix, so resuming unresolved walks at s1 replays the same decisions."""
-    from telomeri_tpu.walk.engine import run_walks_sectioned
-
-    g = random_graph(rng)
-    cfg = ScaffoldConfig(mc_walks_per_end=16, max_steps=10)
-    p = plan_walks(g, cfg)
-    gd = graph_to_device(g)
-    one = run_walks_sectioned(gd, p, 7, n_anchors=g.n_anchors,
-                              max_steps=10).to_numpy()
-    two = run_walks_sectioned(gd, p, 7, n_anchors=g.n_anchors, max_steps=10,
-                              mc_phase_steps=s1).to_numpy()
-    for f, a, b in zip(one._fields, one, two):
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=f)
-
-
-def test_phased_all_resolved_early():
-    """s1 large enough that nothing is unresolved: the early-out (no phase-2
-    dispatch) must still return full-width, identical records."""
-    from telomeri_tpu.walk.engine import run_walks_sectioned
-
-    g = chain_graph()  # every walk ends within 3 steps
-    cfg = ScaffoldConfig(mc_walks_per_end=6, max_steps=8)
-    p = plan_walks(g, cfg)
-    gd = graph_to_device(g)
-    one = run_walks_sectioned(gd, p, 5, n_anchors=g.n_anchors,
-                              max_steps=8).to_numpy()
-    two = run_walks_sectioned(gd, p, 5, n_anchors=g.n_anchors, max_steps=8,
-                              mc_phase_steps=6).to_numpy()
-    for f, a, b in zip(one._fields, one, two):
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=f)
-
-
-def test_phased_off_values():
-    """mc_phase_steps of 0 or >= max_steps degrades to the one-phase engine."""
-    from telomeri_tpu.walk.engine import run_walks_sectioned
-
-    g = chain_graph()
-    cfg = ScaffoldConfig(mc_walks_per_end=4, max_steps=8)
-    p = plan_walks(g, cfg)
-    gd = graph_to_device(g)
-    one = run_walks_sectioned(gd, p, 5, n_anchors=g.n_anchors,
-                              max_steps=8).to_numpy()
-    for v in (0, 8, 99):
-        got = run_walks_sectioned(gd, p, 5, n_anchors=g.n_anchors, max_steps=8,
-                                  mc_phase_steps=v).to_numpy()
-        for a, b in zip(one, got):
-            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
-
-
-def test_phased_overflow_falls_back_full_width(rng):
-    """Round 4 fused compaction: when MORE rows are unresolved than the w2
-    continuation bucket, the in-program lax.cond falls back to the full-width
-    continuation — bit-identical, no walk dropped. Forced by calling the fused
-    program with a tiny w2."""
-    from telomeri_tpu.walk.engine import (
-        _mc_phased_fused,
-        plan_to_device,
-        run_walks_sectioned,
-    )
-
-    g = random_graph(rng)
-    cfg = ScaffoldConfig(mc_walks_per_end=16, max_steps=10)
-    p = plan_walks(g, cfg)
-    gd = graph_to_device(g)
-    one = run_walks_sectioned(gd, p, 7, n_anchors=g.n_anchors,
-                              max_steps=10).to_numpy()
-    lo, hi = p.sections["mc"]
-    from telomeri_tpu.walk.engine import _slice_plan
-
-    pd = plan_to_device(_slice_plan(p, lo, hi))
-    fused = _mc_phased_fused(gd, pd, 7, n_anchors=g.n_anchors, max_steps=10,
-                             s1=2, w2=8).to_numpy()     # w2 far below unresolved
-    for f, a, b in zip(one._fields, one, fused):
-        np.testing.assert_array_equal(
-            np.asarray(a)[lo:hi], np.asarray(b), err_msg=f)
-
-
 @pytest.mark.parametrize("strategy", ["take", "dyng", "loop"])
 def test_vmem_pallas_scan_parity(rng, strategy):
     """VMEM-resident Pallas walk scan (kernels/walk_vmem.py): bitwise-identical
