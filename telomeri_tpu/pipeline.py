@@ -181,6 +181,12 @@ def run_pipeline(
     if cfg.graph_placement == "rowshard" and mesh is None:
         raise ValueError("graph_placement='rowshard' shards CSR rows over a "
                          "device mesh; pass --mesh N")
+    if cfg.support_mode == "walk_count" and cfg.mc_walks_per_end > 200:
+        log.warning(
+            "support_mode='walk_count' at %d walks/end: walk-count support is "
+            "density-inflated (a chimeric junction gains count as fast as a "
+            "real one) — use support_mode='read_diverse' at this density",
+            cfg.mc_walks_per_end)
     if graph_artifact:
         with metrics.stage("load_sequences"):
             contigs = read_fasta(contigs_path, lazy=cfg.lazy_sequences)

@@ -166,3 +166,17 @@ def test_pipeline_records_dispatches(tmp_path):
     assert any(k.startswith("run_walks:") for k in disp), disp
     rec = next(v for k, v in disp.items() if k.startswith("run_walks:"))
     assert rec["s"] and rec["hist_s"] is not None
+
+
+def test_config_from_json_drops_unknown_fields():
+    """Configs saved by other framework versions (e.g. the removed
+    mc_phase_steps) must stay loadable: unknown keys drop with a warning."""
+    import json
+
+    from telomeri_tpu.config import ScaffoldConfig
+
+    d = json.loads(ScaffoldConfig().to_json())
+    d["mc_phase_steps"] = 8
+    d["some_future_knob"] = "x"
+    cfg = ScaffoldConfig.from_json(json.dumps(d))
+    assert cfg == ScaffoldConfig()
