@@ -83,3 +83,29 @@ def test_pipeline_output_identical_with_mesh(toy_dataset_dir, tmp_path):
     run_pipeline(*args, out8, CFG, mesh=make_walk_mesh(8))
     assert open(out1, "rb").read() == open(out8, "rb").read(), \
         "N-device output must be byte-identical to single-device output"
+
+
+def test_mesh_pipeline_with_cut_read_blockers(tmp_path):
+    """The cut-read gate's MESH branch (flagged rows fetched via the
+    stitch-stage collective) and blocker semantics must reproduce the
+    single-device output byte-for-byte on a chimera-bearing dataset where the
+    gate actually fires."""
+    from telomeri_tpu.sim import SimConfig, simulate, write_dataset
+
+    sim = simulate(SimConfig(
+        genome_len=200_000, repeat_len=4_000, n_repeat_copies=4,
+        read_len_mean=3_000, read_len_sd=500, coverage=15.0,
+        error_rate=0.02, chimera_rate=0.2,
+        dropout_len=10_000, dropout_starts=(33_800,), seed=3))
+    d = str(tmp_path / "data")
+    write_dataset(sim, d)
+    args = [f"{d}/{f}" for f in
+            ("contigs.fa", "reads.fa", "read2contig.paf", "read2read.paf")]
+    cfg = ScaffoldConfig(mc_walks_per_end=64, max_steps=16)
+    r1 = run_pipeline(*args, str(tmp_path / "one.fa"), cfg)
+    # the gate must really fire on this dataset for the test to mean anything
+    assert r1.metrics.values["n_bridges_cut_refused"] > 0
+    assert r1.metrics.values["n_ends_blocked"] > 0
+    run_pipeline(*args, str(tmp_path / "mesh.fa"), cfg, mesh=make_walk_mesh(8))
+    assert open(tmp_path / "one.fa", "rb").read() == \
+        open(tmp_path / "mesh.fa", "rb").read()
