@@ -85,3 +85,80 @@ def test_two_process_multihost(tmp_path, placement):
         n_anchors=graph.n_anchors, group_window=cfg.group_window,
         min_support=cfg.min_group_support, support=cfg.support_mode))
     assert outs[0] == "BRIDGES=" + repr(rows)
+
+
+PIPELINE_WORKER = r"""
+import os, sys, hashlib
+pid = int(sys.argv[1]); nproc = int(sys.argv[2]); port = sys.argv[3]; d = sys.argv[4]
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
+                           num_processes=nproc, process_id=pid)
+from telomeri_tpu.config import ScaffoldConfig
+from telomeri_tpu.dist.mesh import make_walk_mesh
+from telomeri_tpu.pipeline import run_pipeline
+
+cfg = ScaffoldConfig(mc_walks_per_end=48, max_steps=16)
+out = f"{d}/out_rank{pid}.fa"
+res = run_pipeline(f"{d}/contigs.fa", f"{d}/reads.fa", f"{d}/read2contig.paf",
+                   f"{d}/read2read.paf", out, cfg, mesh=make_walk_mesh())
+m = res.metrics.values
+print("GATEFIRE=" + repr((m.get("n_bridges_cut_refused", 0),
+                          m.get("n_ends_blocked", 0))), flush=True)
+print("FASTA=" + hashlib.sha256(open(out, "rb").read()).hexdigest(), flush=True)
+"""
+
+
+@pytest.mark.slow
+def test_two_process_full_pipeline_with_gate(tmp_path):
+    """Full pipeline (walks + read-diverse consensus + cut-read gate +
+    blockers + stitch) across TWO jax.distributed processes on a dataset where
+    the gate fires: the gate's flagged rows and the stitcher's representative
+    rows live walk-sharded across processes and must be fetched via
+    collectives (the round-3 rescue crash class, ADVICE r3 item 1). Both
+    ranks' FASTAs must equal the single-process run's bytes."""
+    import hashlib
+
+    from telomeri_tpu.config import ScaffoldConfig
+    from telomeri_tpu.pipeline import run_pipeline
+    from telomeri_tpu.sim import SimConfig, simulate, write_dataset
+
+    d = str(tmp_path / "data")
+    sim = simulate(SimConfig(
+        genome_len=150_000, repeat_len=3_000, n_repeat_copies=3,
+        read_len_mean=2_500, read_len_sd=400, coverage=14.0,
+        error_rate=0.02, chimera_rate=0.25, seed=3))
+    assert sim.chimeric
+    write_dataset(sim, d)
+
+    script = tmp_path / "worker.py"
+    script.write_text(PIPELINE_WORKER)
+    env = dict(os.environ,
+               PYTHONPATH=os.path.abspath(os.path.join(LAMBDA, "..", "..")))
+    port = str(_free_port())
+    procs = [
+        subprocess.Popen([sys.executable, str(script), str(i), "2", port, d],
+                         stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                         text=True, env=env)
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=300)
+        assert p.returncode == 0, out[-2000:]
+        outs.append({l.split("=", 1)[0]: l.split("=", 1)[1]
+                     for l in out.splitlines()
+                     if l.startswith(("GATEFIRE=", "FASTA="))})
+    assert outs[0] == outs[1], "ranks disagree"
+    refused, blocked = eval(outs[0]["GATEFIRE"])
+    assert refused > 0 and blocked > 0, "the gate never fired: weak test"
+
+    # equal to the single-process run
+    cfg = ScaffoldConfig(mc_walks_per_end=48, max_steps=16)
+    res = run_pipeline(f"{d}/contigs.fa", f"{d}/reads.fa",
+                      f"{d}/read2contig.paf", f"{d}/read2read.paf",
+                      str(tmp_path / "single.fa"), cfg)
+    assert res.metrics.values["n_bridges_cut_refused"] == refused
+    h = hashlib.sha256(open(tmp_path / "single.fa", "rb").read()).hexdigest()
+    assert outs[0]["FASTA"] == h
