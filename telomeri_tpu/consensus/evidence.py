@@ -84,22 +84,49 @@ def read_diversity_gate(
         steps = np.asarray(walks.steps)[idx]
         terms = np.asarray(walks.terminal)[idx]
 
-    readsets: dict[tuple[int, int], list[frozenset]] = {}
-    for r in range(len(idx)):
-        a, b = int(nodes[r, 0]), int(terms[r])
-        pair = min((a, b), (b ^ 1, a ^ 1))
-        readsets.setdefault(pair, []).append(
-            interior_reads(nodes[r], int(steps[r]), virtual_base))
+    # Vectorized cut-read computation (the flagged-row count scales with
+    # pair count x distinct paths — ~25k on hg002-sub, ~10x that at full
+    # genome scale, so per-row Python set building is the wrong altitude):
+    # a pair's cut reads are the reads whose DISTINCT-flagged-row count for
+    # that pair equals the pair's flagged-row count.
+    nodes = np.asarray(nodes)
+    steps = np.asarray(steps).astype(np.int64)
+    terms = np.asarray(terms).astype(np.int64)
+    a0 = nodes[:, 0].astype(np.int64)
+    ra, rb = terms ^ 1, a0 ^ 1
+    flip = (ra < a0) | ((ra == a0) & (rb < terms))
+    ca = np.where(flip, ra, a0)
+    cb = np.where(flip, rb, terms)
+    pair_key = {}
+    pair_of_row = np.empty(len(idx), np.int64)
+    for r in range(len(idx)):         # tiny: one dict op per flagged row
+        pair_of_row[r] = pair_key.setdefault((int(ca[r]), int(cb[r])),
+                                             len(pair_key))
+    n_pairs = len(pair_key)
+    col = np.arange(nodes.shape[1])[None, :]
+    m = (col >= 1) & (col < steps[:, None]) & (nodes >= 0) & (nodes < virtual_base)
+    rowi, coli = np.nonzero(m)
+    reads_f = nodes[rowi, coli].astype(np.int64) // 2
+    # distinct (row, read), then distinct-row count per (pair, read)
+    n_reads = int(reads_f.max()) + 1 if reads_f.size else 1
+    rr = np.unique(rowi * n_reads + reads_f)
+    pid = pair_of_row[rr // n_reads]
+    uk, cnt = np.unique(pid * n_reads + rr % n_reads, return_counts=True)
+    rows_per_pair = np.bincount(pair_of_row, minlength=n_pairs)
+    is_cut = cnt == rows_per_pair[uk // n_reads]
+    cuts: dict[int, list[int]] = {}
+    for k in uk[is_cut]:
+        cuts.setdefault(int(k // n_reads), []).append(int(k % n_reads))
 
     kept, blocked = [], []
     for row in rows:
-        sets = readsets.get(tuple(row["pair"]))
-        if not sets:  # defensively keep: a valid row always has flagged members
+        pid_row = pair_key.get(tuple(row["pair"]))
+        if pid_row is None:  # defensively keep: a valid row has flagged members
             log.warning("cut-read gate: no flagged paths for pair %s; keeping",
                         row["pair"])
             kept.append(row)
             continue
-        cut = frozenset.intersection(*sets)
+        cut = cuts.get(pid_row, [])
         if not cut:
             kept.append(row)
             continue

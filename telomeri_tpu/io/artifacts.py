@@ -56,9 +56,12 @@ def _check_header(raw, kind: str, cfg: ScaffoldConfig | None) -> dict:
             f"artifact is {h.get('kind')!r} schema {h.get('schema')}, "
             f"expected {kind!r} schema {SCHEMA}")
     if cfg is not None and h["config"] != dataclasses.asdict(cfg):
-        diff = {k: (h["config"].get(k), v) for k, v in dataclasses.asdict(cfg).items()
-                if h["config"].get(k) != v}
-        log.warning("artifact config differs from current config: %s", diff)
+        cur = dataclasses.asdict(cfg)
+        diff = {k: (h["config"].get(k), cur.get(k))
+                for k in sorted(set(h["config"]) | set(cur))
+                if h["config"].get(k) != cur.get(k)}
+        log.warning("artifact config differs from current config "
+                    "(saved, current): %s", diff)
     return h
 
 
