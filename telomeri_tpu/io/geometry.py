@@ -137,7 +137,26 @@ def overlap_geometry(paf: PafRecords) -> dict[str, np.ndarray]:
     }
 
 
-def split_mapped(paf: PafRecords, n_seqs: int, min_overlap: int = 100) -> np.ndarray:
+def split_evidence_mask(paf: PafRecords, min_identity: float) -> np.ndarray:
+    """Rows eligible as junction-SPANNING evidence for split_mapped.
+
+    An interval only disproves a breakpoint if it is a REAL alignment:
+    malformed rows (rule 0) have untrustworthy coordinates; SELF rows (rule 1)
+    span any breakpoint trivially (a read always matches itself — review r4:
+    one self-hit row un-flagged a chimera and let its fabricated bridge
+    through the clean-cut-read branch); sub-min_identity rows are noise that
+    cannot certify homology across a junction. Rows dropped by the LATER
+    graph-filter rules (containment, internal match, overhang) stay eligible:
+    they are genuine alignments — a containing long read crossing the
+    breakpoint is exactly the evidence that the junction is real."""
+    si = paf.nmatch.astype(np.float32) / np.maximum(paf.blocklen, 1).astype(
+        np.float32)
+    return (~malformed_mask(paf) & (paf.qid != paf.tid)
+            & (si >= np.float32(min_identity)))
+
+
+def split_mapped(paf: PafRecords, n_seqs: int, min_overlap: int = 100,
+                 row_mask: np.ndarray | None = None) -> np.ndarray:
     """(n_seqs,) bool: sequences whose PAF alignments carry a chimera-signature
     BREAKPOINT — an interior position no alignment spans.
 
@@ -158,9 +177,10 @@ def split_mapped(paf: PafRecords, n_seqs: int, min_overlap: int = 100) -> np.nda
     The cut-read gate (consensus/evidence.py) uses this to tell a clean
     single-spanning-read junction (accept) from a chimera-fabricated one
     (refuse) — round 3 refused BOTH as indistinguishable; the mapping geometry
-    distinguishes them. Malformed rows (rule 0) are excluded: garbage
-    coordinates must not flag an innocent read as split."""
-    ok = ~malformed_mask(paf)
+    distinguishes them. row_mask selects the rows eligible as evidence
+    (split_evidence_mask; defaults to excluding malformed + self rows)."""
+    ok = (row_mask if row_mask is not None
+          else (~malformed_mask(paf) & (paf.qid != paf.tid)))
     ids = np.concatenate([paf.qid[ok], paf.tid[ok]]).astype(np.int64)
     starts = np.concatenate([paf.qstart[ok], paf.tstart[ok]]).astype(np.int64)
     ends = np.concatenate([paf.qend[ok], paf.tend[ok]]).astype(np.int64)

@@ -108,10 +108,11 @@ def build_graph(contigs: SequenceSet, reads: SequenceSet, paf: PafRecords,
             contigs.lengths, reads.lengths]) if n_seqs else np.empty(0, np.int64)
         graph = tensorize(edges, seq_len, len(contigs), cfg)
         if cfg.split_read_margin > 0:
-            from telomeri_tpu.io.geometry import split_mapped
+            from telomeri_tpu.io.geometry import split_evidence_mask, split_mapped
 
             graph.split_read = split_mapped(
-                paf, n_seqs, min_overlap=cfg.split_read_margin)
+                paf, n_seqs, min_overlap=cfg.split_read_margin,
+                row_mask=split_evidence_mask(paf, cfg.min_identity))
             metrics.set("n_split_reads", int(graph.split_read.sum()))
     metrics.set("graph", graph.stats)
     return edges, graph

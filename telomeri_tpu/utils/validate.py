@@ -182,10 +182,17 @@ def _cached_index(arr: np.ndarray, k: int, cache_path: str | None):
     idx = KmerIndex.build(arr, k, keep_raw=True)
     if cache_path:
         try:
+            # invalidate the OLD fingerprint FIRST, then write arrays, then the
+            # new fingerprint: a crash at any point leaves a miss, never a
+            # stale fp paired with newer arrays (review r4: the fp-last order
+            # alone protected only the first-ever write, not overwrites)
+            try:
+                os.remove(cache_path + ".fp.npy")
+            except FileNotFoundError:
+                pass
             for p in parts:
                 np.save(f"{cache_path}.{p}.tmp.npy", getattr(idx, p))
                 os.replace(f"{cache_path}.{p}.tmp.npy", f"{cache_path}.{p}.npy")
-            # fingerprint LAST: a crash mid-write leaves a miss, never a stale hit
             np.save(cache_path + ".fp.tmp.npy", fp)
             os.replace(cache_path + ".fp.tmp.npy", cache_path + ".fp.npy")
         except OSError:   # unwritable location: cache is best-effort

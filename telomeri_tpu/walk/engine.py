@@ -281,7 +281,6 @@ def _mc_fast_core(
     6.3M-node random graph (few early events -> overflow branch = pure
     overhead). Removed per the measurement; BASELINE.md records the numbers.)"""
     w = p.start.shape[0]
-    anchor_lim = 2 * jnp.asarray(n_anchors, jnp.int32)
     all_bits = _stable_bits_table(seed, p.uid, max_steps)       # (S, W)
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (w, h), 1)

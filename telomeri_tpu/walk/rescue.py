@@ -113,7 +113,9 @@ def run_rescue_round(
     from telomeri_tpu.walk.engine import graph_to_device, run_walks_sectioned
 
     ends = free_walkable_ends(graph, accepted, blocked_ends)
-    if not ends:
+    if not ends or cfg.rescue_walks_per_end == 0:
+        # an explicit 0 means NO rescue sampling (review r4: the budget
+        # floor of 1 walk/end must not override it)
         return [], {}, blocked_ends
     plan, uid0 = build_rescue_plan(
         ends, cfg, round_ix, mesh_size=mesh.size if mesh is not None else 1)

@@ -307,3 +307,95 @@ def test_blockers_claim_ends_in_order():
     acc2, be2 = resolve_with_blockers(
         [weak_wrong], [], pre_blocked=blocked_ends)
     assert not acc2 and be2 == blocked_ends
+
+
+def test_split_detection_ignores_self_and_junk_rows():
+    """Review r4: a self-hit row (read vs itself — filter rule 1's own case)
+    or a junk sub-min_identity row spanning the breakpoint must NOT un-flag a
+    chimera: only real, non-self alignments count as spanning evidence."""
+    from telomeri_tpu.io.geometry import split_evidence_mask, split_mapped
+    from telomeri_tpu.io.paf import PafRecords
+
+    def mk(rows):
+        a = np.array(rows, np.int64)
+        return PafRecords(
+            qid=a[:, 0].astype(np.int32), qlen=a[:, 1].astype(np.int32),
+            qstart=a[:, 2].astype(np.int32), qend=a[:, 3].astype(np.int32),
+            strand=a[:, 4].astype(np.int8), tid=a[:, 5].astype(np.int32),
+            tlen=a[:, 6].astype(np.int32), tstart=a[:, 7].astype(np.int32),
+            tend=a[:, 8].astype(np.int32), nmatch=a[:, 9].astype(np.int32),
+            blocklen=a[:, 10].astype(np.int32))
+
+    chimera = [
+        (0, 3000, 0, 1480, 0, 1, 5000, 0, 1480, 1400, 1480),
+        (0, 3000, 1520, 3000, 0, 2, 5000, 0, 1480, 1400, 1480),
+    ]
+    self_row = [(0, 3000, 0, 3000, 0, 0, 3000, 0, 3000, 3000, 3000)]
+    junk_row = [(0, 3000, 100, 2900, 0, 3, 5000, 0, 2800, 500, 2800)]  # SI 0.18
+    for extra in (self_row, junk_row, self_row + junk_row):
+        paf = mk(chimera + extra)
+        mask = split_evidence_mask(paf, min_identity=0.70)
+        flags = split_mapped(paf, 6, min_overlap=100, row_mask=mask)
+        assert flags[0], f"chimera un-flagged by {extra}"
+    # the DEFAULT mask already drops self rows; sub-identity junk is what
+    # needs the full evidence mask (split_evidence_mask) to be excluded
+    assert split_mapped(mk(chimera + self_row), 6, min_overlap=100)[0]
+    assert not split_mapped(mk(chimera + junk_row), 6, min_overlap=100)[0]
+
+
+def test_index_cache_overwrite_crash_leaves_miss(tmp_path, monkeypatch):
+    """Review r4: overwriting a cache for a DIFFERENT reference must never
+    leave the old fingerprint paired with new arrays — a crash after the
+    array writes but before the new fp lands must read back as a MISS."""
+    import os as _os
+
+    import numpy as _np
+
+    from telomeri_tpu.utils.validate import _cached_index
+
+    rng = np.random.default_rng(0)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    ga = bases[rng.integers(0, 4, 30_000)]
+    gb = bases[rng.integers(0, 4, 30_000)]
+    stem = str(tmp_path / "x.idx")
+    _cached_index(ga, 24, stem)                  # cache holds A + fp_A
+
+    real_replace = _os.replace
+
+    def crashing_replace(src, dst):
+        if dst.endswith(".fp.npy"):
+            raise OSError("simulated crash before the new fp lands")
+        return real_replace(src, dst)
+    monkeypatch.setattr(_os, "replace", crashing_replace)
+    _cached_index(gb, 24, stem)                  # overwrites arrays, fp write dies
+    monkeypatch.undo()
+
+    assert not _os.path.exists(stem + ".fp.npy")  # old fp was removed FIRST
+    idx = _cached_index(ga, 24, stem)            # must rebuild, not stale-hit
+    fresh = _cached_index(ga, 24, None)
+    _np.testing.assert_array_equal(np.asarray(idx.sorted_km),
+                                   np.asarray(fresh.sorted_km))
+
+
+def test_rescue_walks_per_end_zero_means_no_rescue(tmp_path):
+    """Review r4: an explicit rescue_walks_per_end=0 must run NO rescue walks
+    (the budget division's 1-walk floor must not override it)."""
+    from telomeri_tpu.pipeline import run_pipeline
+    from telomeri_tpu.sim import SimConfig, simulate, write_dataset
+
+    sim = simulate(SimConfig(genome_len=60_000, repeat_len=2_000,
+                             n_repeat_copies=2, read_len_mean=2_000,
+                             coverage=10.0, error_rate=0.02, seed=2))
+    d = str(tmp_path / "data")
+    write_dataset(sim, d)
+    args = (f"{d}/contigs.fa", f"{d}/reads.fa", f"{d}/read2contig.paf",
+            f"{d}/read2read.paf")
+    # starve the base round so free ends EXIST for rescue to be tempted by
+    base = ScaffoldConfig(mc_walks_per_end=1, min_group_support=5)
+    off = dataclasses.replace(base, rescue_rounds=0)
+    zero = dataclasses.replace(base, rescue_rounds=3, rescue_walks_per_end=0)
+    r_off = run_pipeline(*args, str(tmp_path / "off.fa"), off)
+    r_zero = run_pipeline(*args, str(tmp_path / "zero.fa"), zero)
+    assert r_zero.metrics.values.get("n_bridges_rescued", 0) == 0
+    assert open(tmp_path / "off.fa", "rb").read() == \
+        open(tmp_path / "zero.fa", "rb").read()
