@@ -88,3 +88,34 @@ def test_graph_artifact_preserves_cumw(tmp_path):
     _, g2 = load_graph(p, cfg)
     assert g2.cumw is not None
     assert np.array_equal(g2.cumw, graph.cumw)
+
+
+def test_graph_artifact_roundtrips_split_read_flags(tmp_path, toy_sim):
+    """Round 4: the split-mapped (chimera-suspect) flags must survive the graph
+    artifact (the cut-read gate keys on them), and a pre-round-4 artifact
+    without the field must load with split_read=None (gate falls back to
+    conservative refusal)."""
+    import numpy as np
+
+    from telomeri_tpu.io.artifacts import load_graph, save_graph
+    from telomeri_tpu.pipeline import build_graph, load_inputs
+    from telomeri_tpu.sim import write_dataset
+
+    d = tmp_path / "data"
+    write_dataset(toy_sim, str(d))
+    contigs, reads, paf = load_inputs(
+        str(d / "contigs.fa"), str(d / "reads.fa"),
+        str(d / "read2contig.paf"), str(d / "read2read.paf"))
+    edges, graph = build_graph(contigs, reads, paf, CFG)
+    assert graph.split_read is not None
+    p = str(tmp_path / "g.npz")
+    save_graph(p, edges, graph, CFG)
+    _, g2 = load_graph(p, CFG)
+    np.testing.assert_array_equal(g2.split_read, graph.split_read)
+
+    # simulate a pre-round-4 artifact: drop the field and re-save
+    graph.split_read = None
+    p_old = str(tmp_path / "g_old.npz")
+    save_graph(p_old, edges, graph, CFG)
+    _, g3 = load_graph(p_old, CFG)
+    assert g3.split_read is None
