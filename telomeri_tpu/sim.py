@@ -149,6 +149,19 @@ PRESETS: dict[str, SimConfig] = {
                            error_rate=0.03, ins_rate=0.02, del_rate=0.03,
                            end_jitter=40, min_sim_overlap=2_000, cross_copy_overlaps=True,
                            copy_divergence=0.02, seed=404),
+    # BASELINE config #5 at FULL scale (3 Gb, ~1M reads, ~30 GB of sequence):
+    # feasible since the round-4 simulator scaling work (searchsorted contig/
+    # copy probing + sampled cross-copy pair enumeration — the full-scan paths
+    # were O(units x copies) and O(copy_pairs x touch^2)). Needs ~90 GB RAM
+    # and ~40 GB disk; the replicated graph still fits one v5e chip
+    # (docs/ARCHITECTURE.md memory budget).
+    "hg002": SimConfig(genome_len=3_000_000_000, repeat_len=15_000,
+                       n_repeat_copies=4_000, read_len_mean=30_000,
+                       read_len_sd=12_000, read_min_len=5_000, coverage=10.0,
+                       error_rate=0.03, ins_rate=0.02, del_rate=0.03,
+                       end_jitter=40, min_sim_overlap=2_000,
+                       cross_copy_overlaps=True, copy_divergence=0.02,
+                       seed=505),
 }
 
 
@@ -472,10 +485,19 @@ def _paf_row(qn, ql, qs, qe, strand, tn, tl, ts, te, nm, bl) -> str:
 
 def _paf_read_vs_contigs(d: SimData, cfg: SimConfig, rng: np.random.Generator) -> list[str]:
     rows = []
+    c_starts = np.asarray([p[0] for p in d.contig_pos], np.int64)  # ascending
+    c_ends = np.asarray([p[1] for p in d.contig_pos], np.int64)
+    max_clen = int((c_ends - c_starts).max()) if len(c_starts) else 0
     for u in d.units:
         m = u.rmap
         ra, rb, rs = m.a, m.b, m.strand
-        for ci, (ca, cb) in enumerate(d.contig_pos):
+        # a read overlaps O(1) contigs: probe the candidates via searchsorted
+        # instead of scanning all contigs per unit (O(units x contigs) was
+        # hours at genome scale)
+        c0 = int(np.searchsorted(c_starts, ra - max_clen, side="right"))
+        c1 = int(np.searchsorted(c_starts, rb, side="left"))
+        for ci in range(max(c0 - 1, 0), c1):
+            ca, cb = d.contig_pos[ci]
             x, y = max(ra, ca), min(rb, cb)
             if y - x < cfg.min_sim_overlap:
                 continue
@@ -571,17 +593,41 @@ def _paf_cross_copy(d: SimData, cfg: SimConfig, rng: np.random.Generator,
     reports them."""
     L = cfg.repeat_len
     touch: list[list[tuple[int, int, int]]] = [[] for _ in repeat_starts]
+    starts_arr = np.asarray(repeat_starts, np.int64)   # built ascending
     for ui, u in enumerate(d.units):
-        for ci, s in enumerate(repeat_starts):
-            x, y = max(u.rmap.a, s), min(u.rmap.b, s + L)
+        a, b = u.rmap.a, u.rmap.b
+        # only copies with s in (a - L, b) can overlap the unit — a read spans
+        # O(1) copies, so probe them via searchsorted instead of scanning all
+        # n_cop copies per unit (O(units x copies) was hours at genome scale)
+        c0 = int(np.searchsorted(starts_arr, a - L, side="right"))
+        c1 = int(np.searchsorted(starts_arr, b, side="left"))
+        for ci in range(c0, c1):
+            s = int(starts_arr[ci])
+            x, y = max(a, s), min(b, s + L)
             if y - x >= cfg.min_sim_overlap:
                 lo, hi = x - s, y - s                  # planted-local interval
                 if ci in inverted:
                     lo, hi = L - hi, L - lo            # -> master-local
                 touch[ci].append((ui, lo, hi))
+    n_cop = len(repeat_starts)
+    # Candidate enumeration is O(copy_pairs x touch^2): fine at hundreds of
+    # copies (hg002-sub: 8e4 copy pairs), hours at full genome scale (4,000
+    # copies -> 8e6 copy pairs x ~600 unit pairs each). When the estimate
+    # exceeds the row cap by 4x, SAMPLE copy pairs in a deterministic
+    # rng-shuffled order and stop once enough candidates are collected — the
+    # emitted rows are still a uniform-ish cross-copy subsample (real aligners
+    # also emit only the best-scoring fraction of repeat self-similarity).
+    t_sizes = np.array([len(t) for t in touch], dtype=np.int64)
+    total_t = int(t_sizes.sum())
+    est = (total_t * total_t - int((t_sizes * t_sizes).sum())) // 2
+    budget = (4 * cfg.max_cross_rows) if cfg.max_cross_rows else est
     pairs: list[tuple[int, int, int, int, int, int]] = []
-    for i in range(len(repeat_starts)):
-        for j in range(i + 1, len(repeat_starts)):
+    if est > budget and n_cop >= 2:
+        order = rng.permutation(n_cop * (n_cop - 1) // 2)
+        # map a flat index to the (i, j) upper-triangle pair
+        ii, jj = np.triu_indices(n_cop, k=1)
+        for f in order:
+            i, j = int(ii[f]), int(jj[f])
             for ui, lo1, hi1 in touch[i]:
                 for uj, lo2, hi2 in touch[j]:
                     if d.units[ui].read == d.units[uj].read:
@@ -589,6 +635,18 @@ def _paf_cross_copy(d: SimData, cfg: SimConfig, rng: np.random.Generator,
                     x, y = max(lo1, lo2), min(hi1, hi2)
                     if y - x >= cfg.min_sim_overlap:
                         pairs.append((ui, i, uj, j, x, y))
+            if len(pairs) >= budget:
+                break
+    else:
+        for i in range(n_cop):
+            for j in range(i + 1, n_cop):
+                for ui, lo1, hi1 in touch[i]:
+                    for uj, lo2, hi2 in touch[j]:
+                        if d.units[ui].read == d.units[uj].read:
+                            continue
+                        x, y = max(lo1, lo2), min(hi1, hi2)
+                        if y - x >= cfg.min_sim_overlap:
+                            pairs.append((ui, i, uj, j, x, y))
     if cfg.max_cross_rows and len(pairs) > cfg.max_cross_rows:
         keep = rng.choice(len(pairs), cfg.max_cross_rows, replace=False)
         keep.sort()
