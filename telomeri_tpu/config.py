@@ -121,6 +121,15 @@ class ScaffoldConfig:
 
     # --- sharding ---
     walk_batch_multiple: int = 8   # pad walk batch to a multiple of this * n_devices
+    # upper bound on walks per device DISPATCH (single-device path): plans
+    # larger than this run in deterministic chunks — records are uid-keyed, so
+    # chunked ≡ unchunked bitwise (the core RNG invariant). Sized so one
+    # chunk's records + scan temps stay well under one chip's HBM: the FULL
+    # hg002 preset (3 Gb, 9.4M planned walks) OOMed at 28.7 GB in one dispatch
+    # (v5e has 16 GB); 2M-walk chunks peak ~4 GB and still run at the
+    # throughput plateau (BASELINE.md batch-width table: walks/s is flat from
+    # ~1.6M up). 0 disables chunking.
+    max_walk_batch: int = 1 << 21
     # "replicated": graph on every chip (fastest; graph must fit one HBM);
     # "rowshard": CSR rows sharded over the mesh (>HBM graphs; each walk step
     # fetches rows via collectives — dist/rowshard.py; requires --mesh);

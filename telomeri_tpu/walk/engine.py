@@ -620,12 +620,56 @@ def run_walks_sectioned(
         n_anchors=n_anchors, max_steps=max_steps)
 
 
+def run_walks_chunked(
+    gd: GraphDev, plan: WalkPlan, seed, *, n_anchors: int, max_steps: int,
+    max_batch: int, bucket_multiple: int = 8,
+) -> WalkResult:
+    """Run a plan in deterministic device-dispatch chunks of <= max_batch rows.
+
+    Records are uid-keyed (the core RNG invariant: draws depend only on
+    (seed, uid, step)), so chunked output is BITWISE identical to one full
+    dispatch — this is what bounds the walk stage's HBM at genome scale: the
+    FULL hg002 preset plans 9.4M walks, whose single-dispatch records + scan
+    temps wanted 28.7 GB against a 16 GB chip (config.max_walk_batch). Chunks
+    split WITHIN each plan section (each chunk still runs the section's
+    specialized scan) at bucket_multiple-aligned boundaries, and results land
+    in host numpy chunk by chunk, so device memory holds one chunk at a time."""
+    sections = (plan.sections or {None: (0, len(plan))}).items()
+    parts: list[WalkResult] = []
+    for kind, (lo, hi) in sorted(sections, key=lambda kv: kv[1][0]):
+        pos = lo
+        while pos < hi:
+            end = min(pos + max_batch, hi)
+            sub = _slice_plan(plan, pos, end)
+            if kind == "mc":
+                res = _run_walks_mc_fast(gd, plan_to_device(sub), seed,
+                                         n_anchors=n_anchors,
+                                         max_steps=max_steps)
+            else:
+                res = _run_walks_kind(gd, plan_to_device(sub), seed,
+                                      n_anchors=n_anchors, max_steps=max_steps,
+                                      kind=kind or "mixed")
+            parts.append(res.to_numpy())
+            pos = end
+    return WalkResult(*[np.concatenate(a, axis=0) for a in zip(*parts)])
+
+
 def run_walks_host(
     g: GraphTensors, plan: WalkPlan, cfg: ScaffoldConfig
 ) -> WalkResult:
-    """Single-device convenience wrapper (numpy in, numpy out)."""
+    """Single-device convenience wrapper (numpy in, numpy out).
+
+    Plans larger than cfg.max_walk_batch run in deterministic chunks
+    (run_walks_chunked) so the records + scan temps of a genome-scale batch
+    never exceed one chip's HBM; smaller plans keep the single-dispatch path."""
+    gd = graph_to_device(g)
+    if 0 < cfg.max_walk_batch < len(plan):
+        return run_walks_chunked(
+            gd, plan, cfg.mc_seed, n_anchors=g.n_anchors,
+            max_steps=cfg.max_steps, max_batch=cfg.max_walk_batch,
+            bucket_multiple=cfg.walk_batch_multiple)
     res = run_walks_sectioned(
-        graph_to_device(g), plan, cfg.mc_seed,
+        gd, plan, cfg.mc_seed,
         n_anchors=g.n_anchors, max_steps=cfg.max_steps,
     )
     return res.to_numpy()

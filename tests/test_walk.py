@@ -313,3 +313,39 @@ def test_vmem_pallas_scan_parity(rng, strategy):
                             interpret=True).to_numpy()
     for f, a, b in zip(ref._fields, ref, got):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=f)
+
+
+@pytest.mark.parametrize("max_batch", [8, 64, 1000])
+def test_chunked_walks_bitwise_equal_single_dispatch(rng, max_batch):
+    """run_walks_chunked (the genome-scale HBM bound, config.max_walk_batch):
+    chunked output is BITWISE identical to one full dispatch at any chunk size
+    — records are uid-keyed, so batch splitting cannot change any walk."""
+    from telomeri_tpu.walk.engine import run_walks_chunked, run_walks_sectioned
+
+    g = random_graph(rng)
+    cfg = ScaffoldConfig(mc_walks_per_end=16, max_steps=10)
+    p = plan_walks(g, cfg)
+    gd = graph_to_device(g)
+    one = run_walks_sectioned(gd, p, 7, n_anchors=g.n_anchors,
+                              max_steps=10).to_numpy()
+    chunked = run_walks_chunked(gd, p, 7, n_anchors=g.n_anchors, max_steps=10,
+                                max_batch=max_batch)
+    for f, a, b in zip(one._fields, one, chunked):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=f)
+
+
+def test_pipeline_output_invariant_to_max_walk_batch(tmp_path, toy_dataset_dir):
+    """End-to-end: a tiny max_walk_batch (forcing many chunks) writes the same
+    FASTA bytes as the unchunked default."""
+    import dataclasses
+
+    from telomeri_tpu.pipeline import run_pipeline
+
+    args = [f"{toy_dataset_dir}/{f}" for f in
+            ("contigs.fa", "reads.fa", "read2contig.paf", "read2read.paf")]
+    cfg = ScaffoldConfig(mc_walks_per_end=30, max_steps=16)
+    run_pipeline(*args, str(tmp_path / "a.fa"), cfg)
+    run_pipeline(*args, str(tmp_path / "b.fa"),
+                 dataclasses.replace(cfg, max_walk_batch=64))
+    assert open(tmp_path / "a.fa", "rb").read() == \
+        open(tmp_path / "b.fa", "rb").read()
