@@ -195,6 +195,8 @@ def run_pipeline(
         with metrics.stage("load_graph_artifact"):
             edges, graph = load_graph(graph_artifact, cfg)
         metrics.set("graph", graph.stats)
+        if graph.split_read is not None:
+            metrics.set("n_split_reads", int(graph.split_read.sum()))
     else:
         contigs, reads, paf = load_inputs(
             contigs_path, reads_path, paf_rc_path, paf_rr_path, metrics,
