@@ -199,6 +199,12 @@ def split_mapped(paf: PafRecords, n_seqs: int, min_overlap: int = 100,
     prev_run = np.concatenate([[0], run[:-1]])
     brk = (~first
            & (starts > prev_run - min_overlap)          # crossing overlap < m
+           & (ends > prev_run)                          # actually extends reach
+           # (advisor r4: a short interval CONTAINED in the running reach —
+           # ends <= prev_run — proves nothing about a breakpoint there;
+           # earlier alignments already span past it, so without this term a
+           # clean read was false-flagged and its true junction silently
+           # blocked)
            & (prev_run >= 2 * min_overlap)              # left side substantial
            & (starts <= lens - 2 * min_overlap))        # right side interior
     np.logical_or.at(split, ids[brk], True)

@@ -73,16 +73,23 @@ def pack_kmers(seq: np.ndarray, k: int) -> np.ndarray:
         a = pieces[j]
         dt = _min_dtype(4 * j)
         pieces[j * 2] = (a[: len(a) - j].astype(dt) << (2 * j)) | a[j:]
+        # levels the final combine won't read are dead once doubled past —
+        # freeing them eagerly cuts the genome-scale peak by tens of GB
+        # (the 3 Gb raw pack must fit in RAM when the disk can't hold it)
+        if not (k & j):
+            del pieces[j]
+        a = None
         j *= 2
     acc = None
     pos = 0
     for j in sorted(pieces, reverse=True):
         if k & j:
             seg = pieces[j][pos : pos + n]
-            acc = (seg.astype(np.int64) if acc is None
+            acc = (seg.astype(np.int64, copy=False) if acc is None
                    else (acc << (2 * j)) | seg)
             pos += j
-    return acc.astype(np.int64)
+        del pieces[j]
+    return acc if acc.dtype == np.int64 else acc.astype(np.int64)
 
 
 @dataclass

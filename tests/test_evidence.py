@@ -343,6 +343,43 @@ def test_split_detection_ignores_self_and_junk_rows():
     assert not split_mapped(mk(chimera + junk_row), 6, min_overlap=100)[0]
 
 
+def test_split_detection_ignores_contained_intervals():
+    """Advisor r4 (medium): an interval fully CONTAINED in the running reach
+    (ends <= prev_run) that happens to start within min_overlap of the reach
+    tip must NOT mark a breakpoint — earlier alignments already span past it.
+    Before the fix such a read was false-flagged, its true junction refused
+    AND its ends blocked (excluded from rescue): silently unbridged."""
+    from telomeri_tpu.io.geometry import split_mapped
+    from telomeri_tpu.io.paf import PafRecords
+
+    def mk(rows):
+        a = np.array(rows, np.int64)
+        return PafRecords(
+            qid=a[:, 0].astype(np.int32), qlen=a[:, 1].astype(np.int32),
+            qstart=a[:, 2].astype(np.int32), qend=a[:, 3].astype(np.int32),
+            strand=a[:, 4].astype(np.int8), tid=a[:, 5].astype(np.int32),
+            tlen=a[:, 6].astype(np.int32), tstart=a[:, 7].astype(np.int32),
+            tend=a[:, 8].astype(np.int32), nmatch=a[:, 9].astype(np.int32),
+            blocklen=a[:, 10].astype(np.int32))
+
+    clean = [
+        (0, 3000, 0, 2000, 0, 1, 5000, 0, 2000, 1900, 2000),
+        (0, 3000, 1200, 3000, 0, 2, 5000, 0, 1800, 1700, 1800),
+    ]
+    # short interval contained in the reach (2000) starting near its tip
+    tip_contained = [(0, 3000, 1950, 1990, 0, 3, 5000, 0, 40, 38, 40)]
+    assert not split_mapped(mk(clean + tip_contained), 6, min_overlap=100)[0]
+    # sort-order robustness: same rows with the contained interval first
+    assert not split_mapped(mk(tip_contained + clean), 6, min_overlap=100)[0]
+    # a real chimera stays flagged with a contained interval in its left cluster
+    chimera = [
+        (4, 3000, 0, 1480, 0, 1, 5000, 0, 1480, 1400, 1480),
+        (4, 3000, 1400, 1450, 0, 3, 5000, 0, 50, 48, 50),   # contained, near tip
+        (4, 3000, 1520, 3000, 0, 2, 5000, 0, 1480, 1400, 1480),
+    ]
+    assert split_mapped(mk(chimera), 6, min_overlap=100)[4]
+
+
 def test_index_cache_overwrite_crash_leaves_miss(tmp_path, monkeypatch):
     """Review r4: overwriting a cache for a DIFFERENT reference must never
     leave the old fingerprint paired with new arrays — a crash after the

