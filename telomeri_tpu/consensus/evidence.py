@@ -121,10 +121,16 @@ def read_diversity_gate(
     kept, blocked = [], []
     for row in rows:
         pid_row = pair_key.get(tuple(row["pair"]))
-        if pid_row is None:  # defensively keep: a valid row has flagged members
-            log.warning("cut-read gate: no flagged paths for pair %s; keeping",
-                        row["pair"])
-            kept.append(row)
+        if pid_row is None:
+            # Anomaly: every valid bridge row has flagged distinct members, so
+            # a missing pair signals win_distinct/compress drift upstream. The
+            # unsafe direction is ACCEPTING such a bridge — fail CLOSED:
+            # refuse and block its ends like any other suspect pair (VERDICT
+            # r4 weak 3: the round-4 "defensively keep" failed open).
+            log.warning("cut-read gate: no flagged paths for pair %s — "
+                        "upstream inconsistency; refusing and blocking its "
+                        "ends (fail closed)", row["pair"])
+            blocked.append(dict(row, cut_reads=[], gate_anomaly=True))
             continue
         cut = cuts.get(pid_row, [])
         if not cut:

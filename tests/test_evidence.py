@@ -288,6 +288,27 @@ def test_cut_read_gate_clean_spanning_read_accepted():
     assert not kept and len(blocked) == 1
 
 
+def test_cut_read_gate_fails_closed_on_anomaly():
+    """VERDICT r4 weak 3: a bridge row whose pair has NO flagged distinct
+    paths signals win_distinct/compress drift upstream. The unsafe direction
+    is accepting it — the gate must refuse AND block its ends (the round-4
+    code kept it with a warning)."""
+    walks = mk_walks([
+        (0, (10, 20), 2, True, 500, 1.0),
+        (0, (12, 22), 2, True, 510, 2.0),
+    ])
+    cons, rows = run_rd(walks, min_support=2)
+    assert rows                                 # the real pair is present
+    phantom = dict(rows[0], pair=(5, 7))        # pair with no flagged paths
+    kept, blocked = read_diversity_gate(
+        rows + [phantom], cons, walks, VB, split_read=np.zeros(30, bool))
+    assert all(tuple(r["pair"]) != (5, 7) for r in kept)
+    anom = [b for b in blocked if tuple(b["pair"]) == (5, 7)]
+    assert len(anom) == 1 and anom[0].get("gate_anomaly") is True
+    # the genuine row is unaffected
+    assert any(tuple(r["pair"]) == tuple(rows[0]["pair"]) for r in kept)
+
+
 def test_blockers_claim_ends_in_order():
     """bridge.resolve_with_blockers: a refused (blocked) pair claims its ends
     at its support rank, so a weaker bridge cannot take them; blocked ends

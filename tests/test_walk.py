@@ -334,6 +334,174 @@ def test_chunked_walks_bitwise_equal_single_dispatch(rng, max_batch):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=f)
 
 
+@pytest.mark.parametrize("max_batch", [7, 60])
+def test_chunked_walks_one_compiled_shape_per_section(rng, max_batch, monkeypatch):
+    """VERDICT r4 next-3: in a multi-chunk section every dispatch (tail
+    included) must have the SAME batch shape — the exact-size tail slice
+    compiled one extra program per section length, minutes each through the
+    tunnel at genome scale. Sections small enough for one dispatch keep their
+    exact shape. Output must stay bitwise identical with a non-dividing tail."""
+    import telomeri_tpu.walk.engine as E
+    from telomeri_tpu.walk.engine import run_walks_chunked, run_walks_sectioned
+
+    g = random_graph(rng)
+    cfg = ScaffoldConfig(mc_walks_per_end=16, max_steps=10)
+    p = plan_walks(g, cfg)
+    assert any(hi - lo > max_batch and (hi - lo) % max_batch
+               for _, (lo, hi) in p.sections.items()), \
+        "fixture must exercise a non-dividing tail"
+    gd = graph_to_device(g)
+    shapes: list[int] = []
+    real = E.plan_to_device
+
+    def spy(sub, *a, **k):
+        shapes.append(len(sub.start))
+        return real(sub, *a, **k)
+
+    monkeypatch.setattr(E, "plan_to_device", spy)
+    chunked = run_walks_chunked(gd, p, 7, n_anchors=g.n_anchors, max_steps=10,
+                                max_batch=max_batch)
+    monkeypatch.undo()
+    # every multi-chunk section dispatched only max_batch-sized chunks
+    for kind, (lo, hi) in p.sections.items():
+        if hi - lo > max_batch:
+            n = -(-(hi - lo) // max_batch)
+            assert shapes.count(max_batch) >= n
+    assert set(shapes) <= {max_batch} | {
+        hi - lo for _, (lo, hi) in p.sections.items() if hi - lo <= max_batch}
+    one = run_walks_sectioned(gd, p, 7, n_anchors=g.n_anchors,
+                              max_steps=10).to_numpy()
+    for f, a, b in zip(one._fields, one, chunked):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=f)
+
+
+def _resolve_oracle(start, active, nxts, totals, eids, adv, es, n_anchors, S):
+    """Scalar numpy mirror of _resolve_mc_events' event semantics."""
+    W = len(start)
+    big = S + 1
+    out = []
+    for i in range(W):
+        seq = [int(start[i])] + [int(x) for x in nxts[i]]
+        t_rev = t_dead = t_anchor = big
+        for t in range(S):
+            if nxts[i, t] in seq[: t + 1] and t < t_rev:
+                t_rev = t
+                break
+        for t in range(S):
+            if totals[i, t] <= 0:
+                t_dead = t
+                break
+        for t in range(S):
+            if nxts[i, t] < 2 * n_anchors:
+                t_anchor = t
+                break
+        t_kill = 0 if not active[i] else min(t_rev, t_dead)
+        success = t_anchor < t_kill
+        n_taken = t_anchor + 1 if success else min(t_kill, S)
+        terminal = int(nxts[i, t_anchor]) if success else -1
+        nodes = [int(start[i])] + [int(nxts[i, t]) if t < n_taken else -1
+                                   for t in range(S)]
+        row_eids = [int(eids[i, t]) if t < n_taken else -1 for t in range(S)]
+        plen = int(sum(adv[i, t] for t in range(n_taken)))
+        ssum = np.float32(sum(es[i, t] for t in range(n_taken)))
+        out.append((nodes, row_eids, n_taken, success, terminal, plen, ssum))
+    return out
+
+
+def test_resolve_mc_events_pairwise_branch_parity(rng):
+    """VERDICT r4 weak 4: the O(S^2) pairwise revisit path (graphs past
+    ~33M oriented nodes, where node*mult overflows int32) was the only
+    untested hot-path branch. Force it via a fake-large n_nodes on records
+    whose node VALUES fit either path, and assert bit parity with the sort
+    path AND a scalar oracle."""
+    import jax.numpy as jnp
+
+    from telomeri_tpu.walk.engine import PlanDev, _resolve_mc_events
+
+    W, S, n_anchors, n_nodes = 96, 12, 8, 50_000
+    nxts = rng.integers(2 * n_anchors, n_nodes, (W, S)).astype(np.int32)
+    start = rng.integers(2 * n_anchors, n_nodes, W).astype(np.int32)
+    # plant every event class
+    for i in range(0, 16):
+        nxts[i, 5] = start[i]                      # revisit the start
+    for i in range(16, 32):
+        nxts[i, 7] = nxts[i, 2]                    # revisit an interior node
+    totals = rng.integers(1, 5, (W, S)).astype(np.int32)
+    for i in range(32, 40):
+        totals[i, 4] = 0                           # dead row
+    for i in range(40, 56):
+        nxts[i, 3] = int(rng.integers(0, 2 * n_anchors))   # anchor hit
+    for i in range(56, 64):                        # anchor + kill same step
+        nxts[i, 3] = int(rng.integers(0, 2 * n_anchors))
+        totals[i, 3] = 0
+    eids = rng.integers(0, 1000, (W, S)).astype(np.int32)
+    adv = rng.integers(0, 500, (W, S)).astype(np.int32)
+    # integral-valued floats: any float32 summation order is exact, so the
+    # oracle's sequential sum matches the engine's vectorized reduce bitwise
+    es = rng.integers(0, 100, (W, S)).astype(np.float32)
+    active = np.ones(W, bool)
+    active[90:] = False
+    p = PlanDev(start=jnp.asarray(start), first_edge=jnp.full(W, -1, jnp.int32),
+                mode=jnp.full(W, MODE_MC, jnp.int32),
+                uid=jnp.arange(W, dtype=jnp.int32), active=jnp.asarray(active))
+    args = (jnp.asarray(nxts), jnp.asarray(totals), jnp.asarray(eids),
+            jnp.asarray(adv), jnp.asarray(es.view(np.int32)))
+    srt = _resolve_mc_events(p, *args, n_nodes=n_nodes, n_anchors=n_anchors,
+                             max_steps=S).to_numpy()
+    # mult = 64 at S=12, so 40M nodes forces the pairwise branch (n_nodes is
+    # only ever used for branch selection)
+    pw = _resolve_mc_events(p, *args, n_nodes=40_000_000, n_anchors=n_anchors,
+                            max_steps=S).to_numpy()
+    for f, a, b in zip(srt._fields, srt, pw):
+        np.testing.assert_array_equal(a, b, err_msg=f)
+    oracle = _resolve_oracle(start, active, nxts, totals, eids, adv, es,
+                             n_anchors, S)
+    for i, (nodes, reids, n_taken, success, terminal, plen, ssum) in \
+            enumerate(oracle):
+        assert srt.nodes[i].tolist() == nodes, i
+        assert srt.eids[i].tolist() == reids, i
+        assert int(srt.steps[i]) == n_taken, i
+        assert bool(srt.success[i]) == success, i
+        assert int(srt.terminal[i]) == terminal, i
+        assert int(srt.path_len[i]) == plen, i
+        assert np.float32(srt.score_sum[i]) == ssum, i
+
+
+def test_resolve_mc_events_large_node_id_smoke(rng):
+    """>33M-oriented-node regime smoke (records only, tiny W): node ids past
+    the int32 packing limit resolve correctly through the pairwise branch."""
+    import jax.numpy as jnp
+
+    from telomeri_tpu.walk.engine import PlanDev, _resolve_mc_events
+
+    W, S, n_anchors, n_nodes = 8, 12, 8, 60_000_000
+    nxts = rng.integers(40_000_000, n_nodes, (W, S)).astype(np.int32)
+    start = rng.integers(40_000_000, n_nodes, W).astype(np.int32)
+    nxts[0, 4] = start[0]                          # revisit
+    nxts[1, 2] = 3                                 # anchor hit
+    totals = rng.integers(1, 5, (W, S)).astype(np.int32)
+    totals[2, 1] = 0                               # dead
+    eids = rng.integers(0, 100, (W, S)).astype(np.int32)
+    adv = rng.integers(0, 50, (W, S)).astype(np.int32)
+    es = rng.integers(0, 100, (W, S)).astype(np.float32)
+    p = PlanDev(start=jnp.asarray(start), first_edge=jnp.full(W, -1, jnp.int32),
+                mode=jnp.full(W, MODE_MC, jnp.int32),
+                uid=jnp.arange(W, dtype=jnp.int32),
+                active=jnp.ones(W, bool))
+    res = _resolve_mc_events(
+        p, jnp.asarray(nxts), jnp.asarray(totals), jnp.asarray(eids),
+        jnp.asarray(adv), jnp.asarray(es.view(np.int32)),
+        n_nodes=n_nodes, n_anchors=n_anchors, max_steps=S).to_numpy()
+    oracle = _resolve_oracle(start, np.ones(W, bool), nxts, totals, eids, adv,
+                             es, n_anchors, S)
+    for i, (nodes, reids, n_taken, success, terminal, plen, ssum) in \
+            enumerate(oracle):
+        assert res.nodes[i].tolist() == nodes, i
+        assert int(res.steps[i]) == n_taken, i
+        assert bool(res.success[i]) == success, i
+        assert int(res.terminal[i]) == terminal, i
+
+
 def test_pipeline_output_invariant_to_max_walk_batch(tmp_path, toy_dataset_dir):
     """End-to-end: a tiny max_walk_batch (forcing many chunks) writes the same
     FASTA bytes as the unchunked default."""
