@@ -177,18 +177,45 @@ class ScaffoldConfig:
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self), indent=2, sort_keys=True)
 
+    # fields that existed in earlier framework versions and were removed;
+    # configs carrying them (old artifact headers, saved run configs) load
+    # with a warning instead of erroring
+    _LEGACY_KEYS = frozenset({"mc_phase_steps"})
+
     @staticmethod
-    def from_json(s: str) -> "ScaffoldConfig":
-        """Tolerant load: unknown keys (fields from other framework versions,
-        e.g. the removed mc_phase_steps) are dropped with a warning so saved
-        configs and artifact headers stay loadable across versions."""
+    def from_json(s: str, strict: bool = True) -> "ScaffoldConfig":
+        """Load a config from JSON.
+
+        strict (default — the user-supplied --config path): an unknown key
+        that is not a known-removed legacy field raises with a did-you-mean
+        hint; a typo like 'min_identitiy' silently falling back to the
+        default (the round-4 behavior — advisor r4 item 4) cost exactly the
+        run it was meant to configure. strict=False keeps the fully tolerant
+        behavior for machine-written inputs (e.g. replaying an old saved
+        config verbatim)."""
         d = json.loads(s)
         known = {f.name for f in dataclasses.fields(ScaffoldConfig)}
         unknown = sorted(set(d) - known)
-        if unknown:
+        legacy = [k for k in unknown if k in ScaffoldConfig._LEGACY_KEYS]
+        bogus = [k for k in unknown if k not in ScaffoldConfig._LEGACY_KEYS]
+        if legacy:
             from telomeri_tpu.utils.logging import log
 
-            log.warning("config: dropping unknown field(s) %s", unknown)
+            log.warning("config: dropping removed legacy field(s) %s", legacy)
+        if bogus:
+            if strict:
+                import difflib
+
+                hints = []
+                for k in bogus:
+                    close = difflib.get_close_matches(k, known, n=1)
+                    hints.append(f"{k!r}" + (f" (did you mean {close[0]!r}?)"
+                                             if close else ""))
+                raise ValueError(
+                    "unknown config field(s): " + ", ".join(hints))
+            from telomeri_tpu.utils.logging import log
+
+            log.warning("config: dropping unknown field(s) %s", bogus)
         return ScaffoldConfig(**{k: v for k, v in d.items() if k in known})
 
 

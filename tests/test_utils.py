@@ -168,15 +168,23 @@ def test_pipeline_records_dispatches(tmp_path):
     assert rec["s"] and rec["hist_s"] is not None
 
 
-def test_config_from_json_drops_unknown_fields():
-    """Configs saved by other framework versions (e.g. the removed
-    mc_phase_steps) must stay loadable: unknown keys drop with a warning."""
+def test_config_from_json_legacy_vs_typo_fields():
+    """Advisor r4 item 4: known-removed legacy fields (mc_phase_steps) load
+    with a warning in any mode, but a typo'd field in a USER config must
+    raise with a did-you-mean hint instead of silently using the default.
+    strict=False keeps the fully tolerant behavior."""
     import json
+
+    import pytest
 
     from telomeri_tpu.config import ScaffoldConfig
 
     d = json.loads(ScaffoldConfig().to_json())
-    d["mc_phase_steps"] = 8
-    d["some_future_knob"] = "x"
-    cfg = ScaffoldConfig.from_json(json.dumps(d))
-    assert cfg == ScaffoldConfig()
+    d["mc_phase_steps"] = 8                      # legacy: always tolerated
+    assert ScaffoldConfig.from_json(json.dumps(d)) == ScaffoldConfig()
+
+    d["min_identitiy"] = 0.9                     # typo: strict raises w/ hint
+    with pytest.raises(ValueError, match="min_identity"):
+        ScaffoldConfig.from_json(json.dumps(d))
+    assert ScaffoldConfig.from_json(json.dumps(d), strict=False) == \
+        ScaffoldConfig()
