@@ -44,6 +44,18 @@ import numpy as np
 T_START = time.monotonic()
 BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "420"))
 
+# PINNED baseline denominator (VERDICT r4 weak 1 / next-4): the official
+# vs_baseline ratio previously divided by the SAME-DAY host oracle, whose
+# burst-throttled rate swung +-40% round to round (2,195..2,997 walks/s at
+# flat ~3.12M device walks/s -> official ratios 1042x..1426x, a coin flip).
+# The ratio is now steps/s vs steps/s against a pinned constant: the BEST
+# single-core oracle-steps/s ever measured on this host (45,006, 2026-08-21,
+# BENCH_r04 stderr tail) — conservative by construction, since a throttled
+# host can only be SLOWER than its best, so host throttling can never
+# inflate the official ratio. The volatile same-day oracle is still measured
+# and reported as vs_baseline_today / oracle_today_walks_per_s.
+ORACLE_PINNED_STEPS_PER_S = 45_006.0
+
 
 def budget_left() -> float:
     return BUDGET_S - (time.monotonic() - T_START)
@@ -53,13 +65,23 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def emit(walks_per_s: float, oracle_per_s: float, n_walks: int):
-    """The official driver-parsed line (stdout, flushed immediately)."""
+def emit(walks_per_s: float, steps_per_s: float, oracle_per_s: float,
+         n_walks: int):
+    """The official driver-parsed line (stdout, flushed immediately).
+
+    value: device-absolute walks/s (the headline — reproduces to ~0.2%
+    across healthy-tunnel runs). vs_baseline: device steps/s over the PINNED
+    oracle steps/s (stable denominator; see ORACLE_PINNED_STEPS_PER_S).
+    vs_baseline_today: the old volatile ratio against the oracle as measured
+    this run, kept for continuity and labeled for what it is."""
     print(json.dumps({
         "metric": "mc_walks_per_s_per_chip",
         "value": round(walks_per_s, 1),
         "unit": "walks/s",
-        "vs_baseline": round(walks_per_s / oracle_per_s, 2),
+        "vs_baseline": round(steps_per_s / ORACLE_PINNED_STEPS_PER_S, 2),
+        "vs_baseline_today": round(walks_per_s / oracle_per_s, 2),
+        "oracle_today_walks_per_s": round(oracle_per_s, 1),
+        "device_steps_per_s": round(steps_per_s, 1),
         "batch_walks": n_walks,
     }), flush=True)
 
@@ -121,9 +143,10 @@ def bench_walks(cfg, graph, plan, repeats: int):
     dt = (time.perf_counter() - t0) / burst
     total_steps = int(np.asarray(jnp.sum(last.steps)))
     walks_per_s = plan.n_active / dt
+    steps_per_s = total_steps / dt
     log(f"walk amortized over {burst}: {dt*1e3:.2f} ms/call "
-        f"-> {walks_per_s:,.0f} walks/s, {total_steps/dt:,.0f} walk-steps/s")
-    return walks_per_s
+        f"-> {walks_per_s:,.0f} walks/s, {steps_per_s:,.0f} walk-steps/s")
+    return walks_per_s, steps_per_s
 
 
 def bench_oracle(cfg, graph, plan, budget_s: float = 18.0, max_walks: int = 600):
@@ -317,11 +340,12 @@ def _child_walks():
     mc = int(os.environ["BENCH_MC_WALKS"])
     repeats = int(os.environ.get("BENCH_REPEATS", "5"))
     cfg, edges, graph, plan = build_problem(mc)
-    walks_per_s = bench_walks(cfg, graph, plan, repeats)
+    walks_per_s, steps_per_s = bench_walks(cfg, graph, plan, repeats)
     if os.environ.get("BENCH_SCALING"):
         bench_scaling(cfg, graph, None, repeats)
     print(CHILD_MARK + json.dumps(
-        {"walks_per_s": walks_per_s, "n_walks": plan.n_active}), flush=True)
+        {"walks_per_s": walks_per_s, "steps_per_s": steps_per_s,
+         "n_walks": plan.n_active}), flush=True)
     if os.environ.get("BENCH_DO_SCORING"):
         try:
             bench_scoring(edges, repeats)
@@ -390,13 +414,14 @@ def main():
         log("[bench] no device measurement obtained within budget; exiting rc=0 "
             "(oracle baseline was %.0f walks/s)" % oracle_per_s)
         return
-    emit(res["walks_per_s"], oracle_per_s, res["n_walks"])
+    emit(res["walks_per_s"], res["steps_per_s"], oracle_per_s, res["n_walks"])
 
     # Peak batch: optional, budget-gated; last line wins in the driver tail.
     if mc_peak > mc_small and budget_left() > 150:
         res2 = _run_child(mc_peak, timeout_s=budget_left() - 30, do_scoring=True)
         if res2 is not None:
-            emit(res2["walks_per_s"], oracle_per_s, res2["n_walks"])
+            emit(res2["walks_per_s"], res2["steps_per_s"], oracle_per_s,
+                 res2["n_walks"])
     else:
         log(f"[bench] skipping peak batch (budget left {budget_left():.0f}s)")
 
