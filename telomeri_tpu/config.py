@@ -111,6 +111,21 @@ class ScaffoldConfig:
     # fallback for pre-round-4 graph artifacts).
     split_read_margin: int = 100
 
+    # --- junction polish (scaffold/polish.py; round 5) ---
+    # Gap fills splice RAW read bases, so junction identity is ceilinged at
+    # the read error rate. polish=True re-calls every fill base by plurality
+    # vote over the OTHER reads spanning that junction (the winning group's
+    # distinct paths name them): each spanning read is anchored to the fill
+    # by unique k-mers, inter-anchor gaps align exactly (DP with traceback),
+    # and an edit (sub/del/ins) applies only when >= 2 reads agree AND they
+    # outnumber half the covering reads — deterministic, and a 50/50 het
+    # split keeps the rep read's allele. Edits are confined to read-sourced
+    # fill segments; contig bases are never touched. With polish on, AGP
+    # source-component coordinates describe the PRE-polish splice (the
+    # byte-exact round-trip holds only for unpolished output).
+    polish: bool = False
+    polish_flank: int = 96         # anchoring context into the neighbours (bp)
+
     # --- rescue rounds (walk/rescue.py) ---
     # after conflict resolution, re-walk still-free walkable contig ends at
     # this density; a rescue bridge needs >= min_group_support DISTINCT paths

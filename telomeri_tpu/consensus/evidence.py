@@ -117,6 +117,13 @@ def read_diversity_gate(
     cuts: dict[int, list[int]] = {}
     for k in uk[is_cut]:
         cuts.setdefault(int(k // n_reads), []).append(int(k % n_reads))
+    # per-pair union of reads across ALL its distinct paths — the junction's
+    # spanning-read set, attached to kept rows for the polish stage
+    # (scaffold/polish.py): these reads each cross the junction and are the
+    # voters that re-call the spliced fill bases
+    span: dict[int, list[int]] = {}
+    for k in uk:
+        span.setdefault(int(k // n_reads), []).append(int(k % n_reads))
 
     kept, blocked = [], []
     for row in rows:
@@ -132,6 +139,7 @@ def read_diversity_gate(
                         "ends (fail closed)", row["pair"])
             blocked.append(dict(row, cut_reads=[], gate_anomaly=True))
             continue
+        row = dict(row, span_reads=sorted(span.get(pid_row, [])))
         cut = cuts.get(pid_row, [])
         if not cut:
             kept.append(row)

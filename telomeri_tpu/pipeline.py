@@ -380,6 +380,29 @@ def run_pipeline(
         paths.update(rescue_paths)
         stitcher = Stitcher(contigs, reads, edges)
         scaffolds = emit_scaffolds(accepted, paths, stitcher)
+
+    # junction polish (scaffold/polish.py): re-call fill bases by plurality
+    # over each junction's spanning reads. Gate-kept rows carry the pair's
+    # spanning-read set (span_reads); rescue bridges (and walk_count mode)
+    # fall back to the representative path's own interior reads, whose votes
+    # exclude the segment's source read — conservative by construction.
+    if cfg.polish:
+        from telomeri_tpu.scaffold.polish import polish_scaffolds
+
+        junction_reads = {tuple(r["pair"]): r["span_reads"]
+                          for r in bridges if "span_reads" in r}
+        for b in accepted:
+            if tuple(b.pair) not in junction_reads:
+                wp = paths.get(b.rep_uid)
+                if wp is not None:
+                    junction_reads[tuple(b.pair)] = sorted(
+                        {n // 2 for n in wp.nodes[1:-1]
+                         if n // 2 >= len(contigs)})
+        with metrics.stage("polish"):
+            agg = polish_scaffolds(scaffolds, reads, junction_reads,
+                                   len(contigs), flank=cfg.polish_flank,
+                                   log=log)
+        metrics.set("polish", agg)
     metrics.set("n_scaffolds", len(scaffolds))
     metrics.set("scaffold_lengths", [int(len(s.seq)) for s in scaffolds])
     from telomeri_tpu.utils.stats import scaffold_vs_contig_stats

@@ -73,6 +73,10 @@ class Scaffold:
     # the component's ORIENTED frame (the frame the bytes were taken from); a
     # path part spliced out entirely by a later trim has no segment
     segments: list[tuple[str, int, int, int, int, int]] = field(default_factory=list)
+    # the chain's accepted Bridges in traversal order (round 5, polish stage):
+    # read segments between the k-th and (k+1)-th contig segment belong to
+    # bridges[k], whose pair keys the junction's spanning-read set
+    bridges: list = field(default_factory=list)
 
 
 class _Splicer:
@@ -233,6 +237,7 @@ def emit_scaffolds(
                 eid_path += wp.eids
         first_contig = min(n // 2 for n in node_path if n // 2 < n_contigs)
         sc = stitcher.stitch_chain(f"scaffold_{first_contig:05d}", node_path, eid_path)
+        sc.bridges = [b for b, _ in chain]
         scaffolds.append((first_contig, sc))
         used.update(n // 2 for n in node_path if n // 2 < n_contigs)
 
