@@ -75,6 +75,9 @@ def diagnose(rundir: str, out=sys.stdout):
             split_read=graph.split_read)
     accepted, _blocked_ends = resolve_with_blockers(rows, blocked_rows)
     acc_pairs = {b.pair for b in accepted}
+    blocked_pair = {tuple(r["pair"]): r for r in blocked_rows}
+    split_flags = (np.asarray(graph.split_read)
+                   if graph.split_read is not None else None)
     end_owner: dict[End, tuple[int, int]] = {}
     for b in accepted:
         end_owner[b.end_a] = b.pair
@@ -140,7 +143,24 @@ def diagnose(rundir: str, out=sys.stdout):
         else:
             segs = seg_by_pair.get(pair, [])
             best = max((s[0] for s in segs), default=0)
-            if pair in win_bucket:
+            if pair in blocked_pair:
+                # round 5 (the round-4 report mislabeled this as a cycle
+                # rejection by elimination): the pair won its consensus but
+                # the cut-read gate REFUSED it — every distinct path hangs on
+                # cut read(s) that are split-mapped (chimera signature) or of
+                # unknown mapping — and its ends were claimed as blockers
+                # (deliberate, misjoin-safe refusal; consensus/evidence.py)
+                r = blocked_pair[pair]
+                cut = r.get("cut_reads", [])
+                diag["verdict"] = "gate-refused"
+                diag["cut_reads"] = cut
+                if split_flags is not None:
+                    diag["cut_reads_split_mapped"] = [
+                        bool(split_flags[x]) for x in cut]
+                diag["distinct_paths"] = int(r.get("distinct", r["count"]))
+                diag["note"] = ("single-point evidence: all cut reads "
+                                "split-mapped/unknown; ends blocked by design")
+            elif pair in win_bucket:
                 diag["verdict"] = "lost-conflict"
                 owners = {str(e): end_owner.get(e) for e in (eR, eL)
                           if e in end_owner}
