@@ -53,9 +53,12 @@ def diagnose(rundir: str, out=sys.stdout):
     from telomeri_tpu.scaffold.bridge import (
         End, make_bridge, resolve_with_blockers, start_end, terminal_end)
 
-    cfgp = [f for f in os.listdir(rundir) if f.endswith(".config.json")]
-    cfg = (ScaffoldConfig.from_json(open(os.path.join(rundir, cfgp[0])).read())
-           if cfgp else ScaffoldConfig())
+    cfgp = sorted(f for f in os.listdir(rundir) if f.endswith(".config.json"))
+    # machine-written run config: tolerant load (a future/removed field must
+    # not block diagnosis); user typos aren't a concern here
+    cfg = (ScaffoldConfig.from_json(
+        open(os.path.join(rundir, cfgp[0])).read(), strict=False)
+        if cfgp else ScaffoldConfig())
     edges, graph = load_graph(os.path.join(rundir, "graph.npz"), cfg)
     plan, walks = load_walks(os.path.join(rundir, "walks.npz"), cfg)
     n_c = graph.n_anchors
