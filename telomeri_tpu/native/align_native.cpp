@@ -16,6 +16,7 @@
 
 #include <cstdint>
 #include <cstring>
+#include <utility>
 #include <vector>
 
 extern "C" {
@@ -166,6 +167,57 @@ int64_t tel_myers_pair(const uint8_t* q, int64_t m,
         if (mode == 2 && score < best) best = score;
     }
     return mode == 2 ? best : score;
+}
+
+// tel_gap_trace: unit-cost global alignment of target gap t (n) vs read gap
+// q (m) WITH traceback — the polish stage's inter-anchor aligner
+// (scaffold/polish.py _dp_trace). Emits ops in forward order: kind 0 = M
+// (q base aligned to t position), 1 = D (t position deleted in the read),
+// 2 = I (q base inserted before t position). Tie-break matches the python
+// mirror exactly: diagonal > up > left. Returns the op count (= path length
+// <= n + m). Caller sizes the out arrays to n + m.
+int64_t tel_gap_trace(const uint8_t* t, int64_t n, const uint8_t* q, int64_t m,
+                      int32_t* kind_out, int32_t* tpos_out, int32_t* qpos_out) {
+    const int64_t w = m + 1;
+    std::vector<int32_t> D((n + 1) * w);
+    for (int64_t j = 0; j <= m; j++) D[j] = (int32_t)j;
+    for (int64_t i = 1; i <= n; i++) {
+        const int32_t* prev = &D[(i - 1) * w];
+        int32_t* cur = &D[i * w];
+        cur[0] = (int32_t)i;
+        const uint8_t tc = t[i - 1];
+        for (int64_t j = 1; j <= m; j++) {
+            int32_t best = prev[j - 1] + (q[j - 1] != tc);
+            int32_t up = prev[j] + 1;
+            if (up < best) best = up;
+            int32_t left = cur[j - 1] + 1;
+            if (left < best) best = left;
+            cur[j] = best;
+        }
+    }
+    int64_t i = n, j = m, k = 0;
+    // build reversed, then flip in place
+    while (i > 0 || j > 0) {
+        const int32_t d = D[i * w + j];
+        if (i > 0 && j > 0 &&
+            d == D[(i - 1) * w + (j - 1)] + (t[i - 1] != q[j - 1])) {
+            kind_out[k] = 0; tpos_out[k] = (int32_t)(i - 1);
+            qpos_out[k] = (int32_t)(j - 1); i--; j--;
+        } else if (i > 0 && d == D[(i - 1) * w + j] + 1) {
+            kind_out[k] = 1; tpos_out[k] = (int32_t)(i - 1);
+            qpos_out[k] = (int32_t)j; i--;
+        } else {
+            kind_out[k] = 2; tpos_out[k] = (int32_t)i;
+            qpos_out[k] = (int32_t)(j - 1); j--;
+        }
+        k++;
+    }
+    for (int64_t a = 0, b = k - 1; a < b; a++, b--) {
+        std::swap(kind_out[a], kind_out[b]);
+        std::swap(tpos_out[a], tpos_out[b]);
+        std::swap(qpos_out[a], qpos_out[b]);
+    }
+    return k;
 }
 
 }  // extern "C"

@@ -45,6 +45,9 @@ _MAX_CANDS = 24  # voters per junction (sorted prefix — plurality saturates)
 _B_A, _B_C, _B_G, _B_T = 65, 67, 71, 84
 _CH = {65: 0, 67: 1, 71: 2, 84: 3}   # base byte -> vote channel; 4 = deletion
 _CH_BYTE = np.array([65, 67, 71, 84], np.uint8)
+_CHAN_LUT = np.zeros(256, np.int64)
+for _b, _c in _CH.items():
+    _CHAN_LUT[_b] = _c
 
 
 def _anchors(read: np.ndarray, tidx: KmerIndex) -> tuple[np.ndarray, np.ndarray]:
@@ -117,18 +120,35 @@ def _dp_trace(t: np.ndarray, q: np.ndarray) -> list[tuple[str, int, int]]:
     return ops
 
 
+def _gap_ops(t: np.ndarray, q: np.ndarray):
+    """(kinds, tpos, qpos) int32 op arrays — native tel_gap_trace when built
+    (the python DP was 87% of polish wall time at hg002-sub scale), python
+    _dp_trace otherwise; identical output (parity in tests/test_native.py)."""
+    from telomeri_tpu.native import align_native
+
+    res = align_native.gap_trace(t, q)
+    if res is not None:
+        return res
+    ops = _dp_trace(t, q)
+    code = {"M": 0, "D": 1, "I": 2}
+    return (np.array([code[k] for k, _, _ in ops], np.int32),
+            np.array([a for _, a, _ in ops], np.int32),
+            np.array([b for _, _, b in ops], np.int32))
+
+
 def _vote_read(read: np.ndarray, tidx: KmerIndex, target: np.ndarray,
-               sub: np.ndarray, cov: np.ndarray, ins: dict) -> bool:
+               tchan: np.ndarray, sub: np.ndarray, cov: np.ndarray,
+               ins: dict) -> bool:
     """Accumulate one read's votes over the target. Returns True if it
     contributed (anchored)."""
     qp, tp = _anchors(read, tidx)
     if len(qp) < 2:
         return False
     k = tidx.k
-    # anchored k-mers: exact matches — vote the target's own base
-    for a in range(len(qp)):
-        lo, hi = int(tp[a]), int(tp[a]) + k
-        sub[np.arange(lo, hi), [_CH[int(b)] for b in target[lo:hi]]] += 1
+    # anchored k-mers: exact matches — vote the target's own base. Anchors
+    # are non-overlapping, so the positions are unique and fancy += is safe.
+    pos = (tp[:, None] + np.arange(k)[None, :]).ravel()
+    sub[pos, tchan[pos]] += 1
     # inter-anchor gaps: exact DP votes
     for a in range(len(qp) - 1):
         t0, t1 = int(tp[a]) + k, int(tp[a + 1])
@@ -137,24 +157,24 @@ def _vote_read(read: np.ndarray, tidx: KmerIndex, target: np.ndarray,
             continue   # no votes here; span coverage below stays conservative
         if t1 < t0 or q1 < q0:     # crossed thinned anchors cannot happen,
             continue               # but guard the slice anyway
-        ops = _dp_trace(target[t0:t1], read[q0:q1])
-        run_q: list[int] = []
-        run_t = -1
-        for kind, ti, qi in ops:
-            if kind == "I":
-                if run_t != t0 + ti:
-                    if run_q:
-                        key = (run_t, bytes(read[run_q])); ins[key] = ins.get(key, 0) + 1
-                    run_q, run_t = [], t0 + ti
-                run_q.append(q0 + qi)
-            else:
-                if run_q:
-                    key = (run_t, bytes(read[run_q])); ins[key] = ins.get(key, 0) + 1
-                    run_q, run_t = [], -1
-                ch = _CH[int(read[q0 + qi])] if kind == "M" else 4
-                sub[t0 + ti, ch] += 1
-        if run_q:
-            key = (run_t, bytes(read[run_q])); ins[key] = ins.get(key, 0) + 1
+        kinds, tis, qis = _gap_ops(target[t0:t1], read[q0:q1])
+        mm = kinds == 0
+        if mm.any():   # each target position appears at most once as M or D
+            sub[t0 + tis[mm], _CHAN_LUT[read[q0 + qis[mm]]]] += 1
+        dm = kinds == 1
+        if dm.any():
+            sub[t0 + tis[dm], 4] += 1
+        im = np.flatnonzero(kinds == 2)
+        if len(im):
+            # a run of consecutive I ops is ONE inserted string (one vote)
+            starts = np.flatnonzero(np.concatenate((
+                [True], np.diff(im) != 1)))
+            bounds = np.append(starts, len(im))
+            for s, e in zip(bounds[:-1], bounds[1:]):
+                sel = im[s:e]
+                key = (t0 + int(tis[sel[0]]),
+                       bytes(read[q0 + qis[sel[0]]: q0 + qis[sel[-1]] + 1]))
+                ins[key] = ins.get(key, 0) + 1
     cov[int(tp[0]): int(tp[-1]) + k] += 1
     return True
 
@@ -170,6 +190,7 @@ def polish_region(target: np.ndarray, lo: int, hi: int,
     tidx = KmerIndex.build(target, _K)
     sub = np.zeros((L, 5), np.int32)
     cov = np.zeros(L, np.int32)
+    tchan = _CHAN_LUT[target]
     ins: dict[tuple[int, bytes], int] = {}
     n_used = 0
     for cand in candidates:
@@ -179,7 +200,7 @@ def polish_region(target: np.ndarray, lo: int, hi: int,
         if max(fwd, rev) == 0:
             continue
         n_used += _vote_read(cand if fwd >= rev else rcs, tidx, target,
-                             sub, cov, ins)
+                             tchan, sub, cov, ins)
     stats = {"reads_used": n_used, "subs": 0, "dels": 0, "ins": 0}
     if n_used == 0:
         return target[lo:hi].copy(), stats
@@ -191,7 +212,6 @@ def polish_region(target: np.ndarray, lo: int, hi: int,
         if best is None or c > best[1]:
             ins_at[p] = (s, c)
     out = bytearray()
-    tchan = np.array([_CH[int(b)] for b in target], np.int64)
     win = np.argmax(sub, axis=1)            # argmax: lowest channel on ties
     win_n = sub[np.arange(L), win]
     t_n = sub[np.arange(L), tchan]

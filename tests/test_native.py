@@ -225,3 +225,42 @@ def test_myers_pair_native_parity():
             for mode in ("global", "free_t_start", "free_t_end"):
                 assert align_native.myers_pair(q, t, mode) == \
                     py_myers(q, t, mode), (m, len(t), mode)
+
+
+def test_gap_trace_parity_and_fallback():
+    """tel_gap_trace (the polish stage's inter-anchor aligner) must emit the
+    EXACT op sequence of the python _dp_trace mirror — same DP, same
+    diagonal > up > left tie-break — and polish_region must produce identical
+    votes through either path."""
+    import pytest
+
+    from telomeri_tpu.native import align_native
+    from telomeri_tpu.scaffold import polish as P
+
+    if not align_native.available():
+        pytest.skip("native library not built")
+    rng = np.random.default_rng(11)
+    code = {0: "M", 1: "D", 2: "I"}
+    for _ in range(300):
+        n, m = rng.integers(0, 96, 2)
+        t = rng.choice(list(b"ACGT"), n).astype(np.uint8)
+        q = rng.choice(list(b"ACGT"), m).astype(np.uint8)
+        k, ti, qi = align_native.gap_trace(t, q)
+        nat = [(code[int(a)], int(b), int(c)) for a, b, c in zip(k, ti, qi)]
+        assert nat == P._dp_trace(t, q), (n, m)
+    # polish output identical with the native path disabled (fallback parity)
+    truth = rng.choice(list(b"ACGT"), 2000).astype(np.uint8)
+    target = truth.copy()
+    bad = rng.choice(2000, 60, replace=False)
+    target[bad] = np.where(target[bad] == ord("A"), ord("C"),
+                           ord("A")).astype(np.uint8)
+    cands = [truth.copy() for _ in range(4)]
+    out_nat, st_nat = P.polish_region(target, 0, 2000, cands)
+    orig = align_native.gap_trace
+    align_native.gap_trace = lambda *a: None
+    try:
+        out_py, st_py = P.polish_region(target, 0, 2000, cands)
+    finally:
+        align_native.gap_trace = orig
+    np.testing.assert_array_equal(out_nat, out_py)
+    assert st_nat == st_py and st_nat["subs"] == 60
