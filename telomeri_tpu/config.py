@@ -111,6 +111,17 @@ class ScaffoldConfig:
     # fallback for pre-round-4 graph artifacts).
     split_read_margin: int = 100
 
+    # --- copy-coherence demotion (consensus/coherence.py; round 5) ---
+    # A cross-copy (wrong-locus) alignment's identity sits ~copy-divergence
+    # below the TOP of its reads' incident-SI distributions. A pair is
+    # "coherent" when some distinct path keeps every edge within this margin
+    # of that top (rel >= margin); incoherent pairs rank BELOW coherent ones
+    # at equal count in conflict resolution — re-ordering only, never a
+    # refusal, so divergence-free datasets are unaffected. Measured margins
+    # on the failing hg002-sub instance: wrong pairs' best <= +0.0007, true
+    # pairs' best >= +0.0126 (BASELINE.md case study). 0 disables.
+    copy_coherence_margin: float = 0.005
+
     # --- junction polish (scaffold/polish.py; round 5) ---
     # Gap fills splice RAW read bases, so junction identity is ceilinged at
     # the read error rate. polish=True re-calls every fill base by plurality

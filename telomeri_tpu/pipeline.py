@@ -308,6 +308,21 @@ def run_pipeline(
             log.info("cut-read gate: %d candidate bridge(s) refused on "
                      "single-point evidence (their winning ends stay blocked)",
                      len(blocked_rows))
+        # copy-coherence demotion (consensus/coherence.py): pairs whose every
+        # distinct path carries a cross-copy-signature edge rank below
+        # coherent pairs at equal count in conflict resolution
+        if cfg.copy_coherence_margin > 0:
+            from telomeri_tpu.consensus.coherence import annotate_pair_coherence
+
+            with metrics.stage("coherence"):
+                n_inc = annotate_pair_coherence(
+                    bridges, cons, walks, edges, graph.virtual_base,
+                    cfg.copy_coherence_margin, mesh=mesh)
+            metrics.set("n_pairs_incoherent", n_inc)
+            if n_inc:
+                log.info("coherence: %d of %d candidate pair(s) have no "
+                         "distinct path clear of cross-copy-signature edges; "
+                         "demoted in conflict order", n_inc, len(bridges))
 
     with metrics.stage("resolve_conflicts"):
         accepted, blocked_ends = resolve_with_blockers(bridges, blocked_rows)

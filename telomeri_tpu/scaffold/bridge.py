@@ -49,6 +49,11 @@ class Bridge:
     rep_uid: int
     end_a: End
     end_b: End
+    # copy-coherence demotion flag (consensus/coherence.py, round 5): pairs
+    # whose every distinct path carries a below-top-SI (cross-copy-signature)
+    # edge rank BELOW coherent pairs at equal count — re-ordering only, never
+    # a refusal. Default True keeps legacy rows/tests byte-identical.
+    coherent: bool = True
 
 
 def make_bridge(row: dict) -> Bridge:
@@ -56,6 +61,7 @@ def make_bridge(row: dict) -> Bridge:
     return Bridge(
         pair=(a, b), count=row["count"], rep_score=row["rep_score"],
         rep_uid=row["rep_uid"], end_a=start_end(a), end_b=terminal_end(b),
+        coherent=bool(row.get("coherent", True)),
     )
 
 
@@ -88,7 +94,12 @@ def resolve_with_blockers(
     Returns (newly_accepted, all_blocked_ends)."""
     ranked = ([(make_bridge(r), False) for r in rows]
               + [(make_bridge(r), True) for r in blockers])
-    ranked.sort(key=lambda t: (-t[0].count, -t[0].rep_score, t[0].pair))
+    # rule-1 order with the round-5 coherence demotion between count and
+    # score: measured on hg002-sub, a wrong-copy hijack pair TIED a true
+    # pair's count and won on rep_score, cascading 3 misjoins — the
+    # incoherent pair now loses the tie instead (BASELINE.md case study)
+    ranked.sort(key=lambda t: (-t[0].count, not t[0].coherent,
+                               -t[0].rep_score, t[0].pair))
 
     used: set[End] = set(pre_blocked)
     blocked_ends: set[End] = set(pre_blocked)

@@ -76,6 +76,11 @@ def diagnose(rundir: str, out=sys.stdout):
         rows, blocked_rows = read_diversity_gate(
             rows, cons, walks, graph.virtual_base,
             split_read=graph.split_read)
+    if cfg.support_mode == "read_diverse" and cfg.copy_coherence_margin > 0:
+        from telomeri_tpu.consensus.coherence import annotate_pair_coherence
+
+        annotate_pair_coherence(rows, cons, walks, edges, graph.virtual_base,
+                                cfg.copy_coherence_margin)
     accepted, _blocked_ends = resolve_with_blockers(rows, blocked_rows)
     acc_pairs = {b.pair for b in accepted}
     blocked_pair = {tuple(r["pair"]): r for r in blocked_rows}
