@@ -149,7 +149,23 @@ def read_agp_junctions(path: str) -> dict[str, list[int]]:
     return {n: sorted(set(v)) for n, v in out.items()}
 
 
-def _cached_index(arr: np.ndarray, k: int, cache_path: str | None):
+def _want_raw(arr: np.ndarray) -> bool:
+    """Keep the position-indexed raw k-mer pack only when it comfortably fits
+    in RAM next to everything else. At 3 Gb the raw array is 24 GB; holding
+    it anonymous while the sorted arrays (48 GB) stream through the page
+    cache and a Gb-scale scaffold packs its own 10+ GB of query k-mers drove
+    the kernel into page-cache thrash (round 5, measured: system time >
+    user time, 6x superlinear wall). raw is a perf-only slice cache —
+    _split_segment re-packs small windows when it is absent."""
+    try:
+        total = os.sysconf("SC_PHYS_PAGES") * os.sysconf("SC_PAGE_SIZE")
+    except (ValueError, OSError):
+        return True
+    return 8 * len(arr) <= total // 8
+
+
+def _cached_index(arr: np.ndarray, k: int, cache_path: str | None,
+                  keep_raw: bool = True):
     """KmerIndex for a reference sequence, persisted next to cache_path.
 
     A genome-scale index build costs tens of minutes (pack + sort of
@@ -180,7 +196,7 @@ def _cached_index(arr: np.ndarray, k: int, cache_path: str | None):
     import zlib
 
     if not cache_path:
-        return KmerIndex.build(arr, k, keep_raw=True)
+        return KmerIndex.build(arr, k, keep_raw=keep_raw)
     crc = zlib.crc32(memoryview(np.ascontiguousarray(arr)))
     fp = np.array([k, len(arr), crc], np.int64)
 
@@ -231,15 +247,18 @@ def _cached_index(arr: np.ndarray, k: int, cache_path: str | None):
     try:
         if sorted_ok and raw_ok:
             return KmerIndex(k=k, sorted_km=load("sorted_km"),
-                             sorted_pos=load("sorted_pos"), raw=load("raw"))
+                             sorted_pos=load("sorted_pos"),
+                             raw=load("raw") if keep_raw else None)
         if sorted_ok:      # resume: sort done, only the pack is missing
             km, pos = load("sorted_km"), load("sorted_pos")
+            if not keep_raw:
+                return KmerIndex(k=k, sorted_km=km, sorted_pos=pos, raw=None)
             raw = pack_kmers(arr, k)
             save("raw", raw)
             return KmerIndex(k=k, sorted_km=km, sorted_pos=pos, raw=raw)
         if raw_ok:         # resume: pack done, only the sort is missing
             idx = KmerIndex.from_packed(np.asarray(load("raw")), k,
-                                        keep_raw=True)
+                                        keep_raw=keep_raw)
             save("sorted_km", idx.sorted_km)
             save("sorted_pos", idx.sorted_pos)
             return idx
@@ -257,7 +276,7 @@ def _cached_index(arr: np.ndarray, k: int, cache_path: str | None):
             pass
     raw = pack_kmers(arr, k)
     save("raw", raw)
-    idx = KmerIndex.from_packed(raw, k, keep_raw=True)
+    idx = KmerIndex.from_packed(raw, k, keep_raw=keep_raw)
     save("sorted_km", idx.sorted_km)
     save("sorted_pos", idx.sorted_pos)
     return idx
@@ -296,7 +315,12 @@ def validate_assembly(scaffolds, genomes, k: int = 24, stride: int = 32,
         arr = np.asarray(genomes.seqs[i])
         cache = (os.path.join(index_cache_dir, f"{n}.k{k}.idx")
                  if index_cache_dir else None)
-        gmap[n] = (arr, _cached_index(arr, k, cache))  # built ONCE per genome
+        keep_raw = _want_raw(arr)
+        if not keep_raw:
+            log.info("validate: %s is genome-scale — not holding the raw "
+                     "k-mer pack in RAM (page-cache headroom; repeat-gap "
+                     "re-anchoring re-packs windows on demand)", n)
+        gmap[n] = (arr, _cached_index(arr, k, cache, keep_raw=keep_raw))
     log.info("validate: indexed %d reference seq(s), %d bp in %.1fs%s",
              len(gmap), int(np.sum(genomes.lengths)), time.perf_counter() - t0,
              f" (cache dir {index_cache_dir})" if index_cache_dir else "")
