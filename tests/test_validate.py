@@ -346,6 +346,22 @@ def test_adopt_index_tool(tmp_path):
     assert r2.returncode != 0
 
 
+def test_low_memory_mode_identical_results(monkeypatch):
+    """Round 5: at genome scale the raw k-mer pack is not held in RAM
+    (page-cache thrash; _want_raw). raw is a perf-only slice cache, so
+    results must be IDENTICAL with and without it."""
+    import telomeri_tpu.utils.validate as V
+
+    g = _rand_seq(150_000, 31)
+    s = _indel_mutate(g, 32, sub=0.02, ins=0.01, dele=0.01)
+    scaffolds = SequenceSet(["s"], [s])
+    genomes = SequenceSet(["g"], [g])
+    full = validate_assembly(scaffolds, genomes, junctions={"s": [70_000]})
+    monkeypatch.setattr(V, "_want_raw", lambda arr: False)
+    lean = validate_assembly(scaffolds, genomes, junctions={"s": [70_000]})
+    assert full == lean
+
+
 def test_index_cache_sum_preserving_edit_misses(tmp_path):
     """Advisor r3 item 2: a sum-preserving edit (swapping two bases) must
     invalidate the cache — crc32 catches what the old byte-sum missed."""
