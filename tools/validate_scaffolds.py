@@ -84,8 +84,9 @@ def main() -> int:
     from telomeri_tpu.io.fasta import read_fasta
 
     scafs = read_fasta(a.scaffolds, lazy="auto")
-    parts_dir = os.path.join(os.path.dirname(os.path.abspath(a.scaffolds)),
-                             "validate_parts")
+    # keyed by the scaffolds FILE so two assemblies in one directory (e.g.
+    # polished vs unpolished) never share or steal each other's parts
+    parts_dir = os.path.abspath(a.scaffolds) + ".validate_parts"
     os.makedirs(parts_dir, exist_ok=True)
     # big scaffolds first: the expensive work starts immediately and the
     # cheap tail survives even a near-deadline kill
